@@ -1,0 +1,21 @@
+"""pufferlib_tpu: a TPU-native high-throughput RL framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the PufferLib feature set
+(emulation, vectorization, PPO training) designed TPU-first:
+
+- envs are pure functions over pytree state (environment.PufferEnv)
+- vectorization is jax.vmap inside one jitted program (vector)
+- rollout + GAE + PPO update fuse into a single XLA program (training.ppo)
+- scaling is a jax.sharding.Mesh data axis, not worker processes (parallel)
+"""
+__version__ = '0.1.0'
+
+from pufferlib_tpu.namespace import Namespace, namespace, dataclass
+from pufferlib_tpu.exceptions import APIUsageError, InvalidAgentError
+from pufferlib_tpu.environment import PufferEnv, Step, EpisodeStats
+
+__all__ = [
+    'Namespace', 'namespace', 'dataclass',
+    'APIUsageError', 'InvalidAgentError',
+    'PufferEnv', 'Step', 'EpisodeStats',
+]
