@@ -1,0 +1,260 @@
+"""Model zoo (flax.linen), TPU-first.
+
+Parity with reference pufferlib/models.py: Default (:12), LSTMWrapper
+(:64), Convolutional NatureCNN (:113), ProcgenResnet (:159). Same
+encode_observations/decode_actions split so any policy can be wrapped
+with the LSTM. Orthogonal CleanRL init (pytorch.py:193).
+
+TPU notes: the LSTM projects inputs for ALL timesteps in one large MXU
+matmul, then scans only the recurrent half; convs/linears run in f32
+params with optional bf16 activations for MXU throughput.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from pufferlib_tpu import spaces
+from pufferlib_tpu.models.distributions import sample_logits
+from pufferlib_tpu.models.policy import Policy, RecurrentPolicy, count_params
+
+__all__ = ['Default', 'LSTMWrapper', 'Convolutional', 'ProcgenResnet',
+    'sample_logits', 'Policy', 'RecurrentPolicy', 'count_params',
+    'layer_init_dense']
+
+
+def orthogonal_init(std=np.sqrt(2)):
+    return nn.initializers.orthogonal(scale=std)
+
+
+def layer_init_dense(features, std=np.sqrt(2), name=None):
+    """CleanRL's layer_init: orthogonal weights, zero bias."""
+    return nn.Dense(features, kernel_init=orthogonal_init(std),
+        bias_init=nn.initializers.zeros, name=name)
+
+
+def _action_info(action_space):
+    """(is_multidiscrete, nvec list) for a flat (emulated) action space."""
+    if isinstance(action_space, spaces.MultiDiscrete):
+        return True, [int(n) for n in action_space.nvec]
+    if isinstance(action_space, spaces.Discrete):
+        return False, [int(action_space.n)]
+    raise ValueError(f'Policies take flat action spaces, got {action_space}')
+
+
+class Default(nn.Module):
+    """Flatten-obs MLP with (multi)discrete decoders and a value head
+    (reference models.py:12-62)."""
+    obs_shape: tuple
+    action_space: object
+    hidden_size: int = 128
+
+    def setup(self):
+        self.encoder = layer_init_dense(self.hidden_size, name='encoder')
+        is_md, nvec = _action_info(self.action_space)
+        self.is_multidiscrete = is_md
+        self.decoders = [layer_init_dense(n, std=0.01, name=f'decoder_{i}')
+            for i, n in enumerate(nvec)]
+        self.value_head = layer_init_dense(1, std=1.0, name='value_head')
+
+    def encode_observations(self, observations):
+        batch = observations.shape[0]
+        x = observations.reshape(batch, -1).astype(jnp.float32)
+        return jax.nn.relu(self.encoder(x)), None
+
+    def decode_actions(self, hidden, lookup=None):
+        value = self.value_head(hidden)
+        if self.is_multidiscrete:
+            return [dec(hidden) for dec in self.decoders], value
+        return self.decoders[0](hidden), value
+
+    def __call__(self, observations):
+        hidden, lookup = self.encode_observations(observations)
+        return self.decode_actions(hidden, lookup)
+
+
+class LSTMWrapper(nn.Module):
+    """LSTM between encode_observations and decode_actions with shape-safe
+    (B,)/(B,T) handling (reference models.py:64-111).
+
+    Input x: (B, *obs_shape) [rollout, T=1] or (B, T, *obs_shape) [BPTT].
+    State: (h, c), each (num_layers, B, hidden_size). Matches torch LSTM
+    math: gates i,f,g,o; orthogonal weights; zero biases.
+
+    TPU-first: the input projection x@W_ih for all T timesteps is one
+    batched MXU matmul outside the scan; only h@W_hh recurs.
+    """
+    policy: nn.Module
+    obs_shape: tuple
+    input_size: int = 128
+    hidden_size: int = 128
+    num_layers: int = 1
+
+    @nn.compact
+    def __call__(self, x, state=None):
+        space_n = len(self.obs_shape)
+        x_shape = tuple(x.shape)
+        if x_shape[-space_n:] != tuple(self.obs_shape):
+            raise ValueError(f'Invalid input tensor shape {x_shape}')
+        if len(x_shape) == space_n + 1:
+            B, T = x_shape[0], 1
+        elif len(x_shape) == space_n + 2:
+            B, T = x_shape[:2]
+        else:
+            raise ValueError(f'Invalid input tensor shape {x_shape}')
+
+        x = x.reshape((B * T,) + tuple(self.obs_shape))
+        hidden, lookup = self.policy.encode_observations(x)
+        assert hidden.shape == (B * T, self.input_size)
+        hidden = hidden.reshape(B, T, self.input_size)
+
+        if state is None:
+            h0 = jnp.zeros((self.num_layers, B, self.hidden_size),
+                hidden.dtype)
+            c0 = jnp.zeros_like(h0)
+        else:
+            h0, c0 = state
+
+        H = self.hidden_size
+        hs, cs = [], []
+        layer_in = hidden
+        for layer in range(self.num_layers):
+            in_size = self.input_size if layer == 0 else H
+            w_ih = self.param(f'w_ih_l{layer}', orthogonal_init(1.0),
+                (in_size, 4 * H))
+            w_hh = self.param(f'w_hh_l{layer}', orthogonal_init(1.0),
+                (H, 4 * H))
+            b = self.param(f'b_l{layer}', nn.initializers.zeros, (4 * H,))
+
+            # One big MXU matmul for every timestep's input projection
+            x_proj = layer_in @ w_ih + b  # (B, T, 4H)
+
+            def cell(carry, xt):
+                h, c = carry
+                gates = xt + h @ w_hh
+                i, f, g, o = jnp.split(gates, 4, axis=-1)
+                i, f, o = (jax.nn.sigmoid(i), jax.nn.sigmoid(f),
+                    jax.nn.sigmoid(o))
+                g = jnp.tanh(g)
+                c = f * c + i * g
+                h = o * jnp.tanh(c)
+                return (h, c), h
+
+            (h_fin, c_fin), outs = jax.lax.scan(
+                cell, (h0[layer], c0[layer]),
+                jnp.swapaxes(x_proj, 0, 1))  # scan over T
+            layer_in = jnp.swapaxes(outs, 0, 1)  # (B, T, H)
+            hs.append(h_fin)
+            cs.append(c_fin)
+
+        new_state = (jnp.stack(hs), jnp.stack(cs))
+        flat = layer_in.reshape(B * T, H)
+        logits, value = self.policy.decode_actions(flat, lookup)
+        return logits, value, new_state
+
+    def initial_state(self, batch_size, dtype=jnp.float32):
+        shape = (self.num_layers, batch_size, self.hidden_size)
+        return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+class Convolutional(nn.Module):
+    """NatureCNN for Atari (reference models.py:113-157). NCHW input
+    unless channels_last; divides by 255."""
+    action_space: object
+    framestack: int
+    flat_size: int
+    hidden_size: int = 512
+    channels_last: bool = False
+    downsample: int = 1
+
+    def setup(self):
+        conv = lambda f, k, s, name: nn.Conv(f, (k, k), strides=(s, s),
+            padding='VALID', kernel_init=orthogonal_init(),
+            bias_init=nn.initializers.zeros, name=name)
+        self.conv1 = conv(32, 8, 4, 'conv1')
+        self.conv2 = conv(64, 4, 2, 'conv2')
+        self.conv3 = conv(64, 3, 1, 'conv3')
+        self.fc = layer_init_dense(self.hidden_size, name='fc')
+        is_md, nvec = _action_info(self.action_space)
+        self.is_multidiscrete = is_md
+        self.decoders = [layer_init_dense(n, std=0.01, name=f'actor_{i}')
+            for i, n in enumerate(nvec)]
+        self.value_fn = layer_init_dense(1, std=1.0, name='value_fn')
+
+    def encode_observations(self, observations):
+        x = observations.astype(jnp.float32) / 255.0
+        if not self.channels_last:
+            # stored NCHW (torch layout); convert to NHWC for TPU convs
+            x = jnp.transpose(x, (0, 2, 3, 1))
+        if self.downsample > 1:
+            x = x[:, ::self.downsample, ::self.downsample, :]
+        x = jax.nn.relu(self.conv1(x))
+        x = jax.nn.relu(self.conv2(x))
+        x = jax.nn.relu(self.conv3(x))
+        x = x.reshape(x.shape[0], -1)
+        return jax.nn.relu(self.fc(x)), None
+
+    def decode_actions(self, hidden, lookup=None):
+        value = self.value_fn(hidden)
+        if self.is_multidiscrete:
+            return [dec(hidden) for dec in self.decoders], value
+        return self.decoders[0](hidden), value
+
+    def __call__(self, observations):
+        hidden, lookup = self.encode_observations(observations)
+        return self.decode_actions(hidden, lookup)
+
+
+class _ResidualBlock(nn.Module):
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        y = jax.nn.relu(x)
+        y = nn.Conv(self.channels, (3, 3), padding='SAME')(y)
+        y = jax.nn.relu(y)
+        y = nn.Conv(self.channels, (3, 3), padding='SAME')(y)
+        return x + y
+
+
+class _ConvSequence(nn.Module):
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.out_channels, (3, 3), padding='SAME')(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding='SAME')
+        x = _ResidualBlock(self.out_channels)(x)
+        x = _ResidualBlock(self.out_channels)(x)
+        return x
+
+
+class ProcgenResnet(nn.Module):
+    """IMPALA-style resnet (reference models.py:159-196). NHWC input."""
+    action_space: object
+    cnn_width: int = 16
+    mlp_width: int = 256
+
+    @nn.compact
+    def __call__(self, observations):
+        hidden, lookup = self.encode_observations(observations)
+        return self.decode_actions(hidden, lookup)
+
+    def encode_observations(self, x):
+        x = x.astype(jnp.float32) / 255.0
+        for ch in [self.cnn_width, 2 * self.cnn_width, 2 * self.cnn_width]:
+            x = _ConvSequence(ch)(x)
+        x = x.reshape(x.shape[0], -1)
+        x = jax.nn.relu(x)
+        x = nn.Dense(self.mlp_width)(x)
+        x = jax.nn.relu(x)
+        return x, None
+
+    def decode_actions(self, hidden, lookup=None):
+        is_md, nvec = _action_info(self.action_space)
+        value = layer_init_dense(1, std=1.0, name='value')(hidden)
+        logits = [layer_init_dense(n, std=0.01, name=f'actor_{i}')(hidden)
+            for i, n in enumerate(nvec)]
+        if is_md:
+            return logits, value
+        return logits[0], value

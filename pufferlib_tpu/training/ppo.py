@@ -1,0 +1,488 @@
+"""PuffeRL on TPU: PPO(+LSTM) as two jitted XLA programs.
+
+The reference trainer (clean_pufferl.py:30-304) ping-pongs tensors between
+host envs and the device every rollout step. Here everything lives on
+device: `evaluate` runs one jitted rollout program (policy forward + env
+vmap + experience collection fused into a lax.scan) and `train` runs one
+jitted update program (GAE scan + minibatched PPO epochs). Only scalar
+metrics ever reach the host.
+
+API parity with the reference: create/evaluate/train/close, the same
+config fields (gamma, gae_lambda, clip_coef, vf_*, ent_coef, target_kl,
+update_epochs, batch_size, minibatch_size, bptt_horizon, anneal_lr,
+checkpoint_interval...), the same losses/* metric names, and the same
+batch/minibatch/bptt divisibility contracts (clean_pufferl.py:414-422).
+
+Fidelity notes:
+- GAE uses the corrected per-env bootstrap (ops/gae.py); the reference's
+  flat no-bootstrap kernel is available as ops.compute_gae_flat.
+- LSTM minibatches start from the *stored rollout state* at each BPTT
+  segment boundary (R2D2-style) instead of the reference's zero state at
+  epoch start (clean_pufferl.py:176) — strictly more faithful to the
+  data-collection distribution.
+- target_kl early stop is a carried flag that masks subsequent updates
+  (lax-friendly analog of the reference's `break`, clean_pufferl.py:256).
+"""
+import os
+import time
+import uuid
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from pufferlib_tpu import spaces
+from pufferlib_tpu.environment import select_tree
+from pufferlib_tpu.exceptions import APIUsageError
+from pufferlib_tpu.models import Policy, RecurrentPolicy, count_params
+from pufferlib_tpu.namespace import namespace
+from pufferlib_tpu.ops import compute_gae, ppo_losses
+from pufferlib_tpu.training import checkpoint as ckpt
+from pufferlib_tpu.training.profile import Profile, make_losses
+from pufferlib_tpu.utils import profile as profile_deco
+from pufferlib_tpu.vector import make_env_ops
+
+
+def default_config(**overrides):
+    """Train-section defaults mirroring reference config.yaml:24-43."""
+    cfg = namespace(
+        env='squared',
+        exp_id=None,
+        data_dir='experiments',
+        seed=1,
+        total_timesteps=10_000_000,
+        learning_rate=2.5e-4,
+        anneal_lr=True,
+        gamma=0.99,
+        gae_lambda=0.95,
+        update_epochs=4,
+        norm_adv=True,
+        clip_coef=0.1,
+        clip_vloss=True,
+        vf_coef=0.5,
+        vf_clip_coef=0.1,
+        max_grad_norm=0.5,
+        ent_coef=0.01,
+        target_kl=None,
+        batch_size=32768,
+        minibatch_size=8192,
+        bptt_horizon=16,
+        shuffle_minibatches=False,
+        checkpoint_interval=200,
+        device='tpu',
+        compile=True,
+        verbose=True,
+    )
+    for k, v in overrides.items():
+        cfg[k] = v
+    if cfg.exp_id is None:
+        cfg.exp_id = f'{cfg.env}-{uuid.uuid4().hex[:8]}'
+    return cfg
+
+
+def create(config, vecenv, policy, wandb=None, mesh=None):
+    """Initialize train state. vecenv must be a vector.Device (or expose
+    .env, .num_envs_total, .emulated, .single_* spaces).
+
+    mesh: optional jax.sharding.Mesh with an 'env' axis. Env lanes, the
+    rollout batch, and all intermediate training tensors are sharded over
+    it; params/optimizer replicate and GSPMD inserts the gradient psum.
+    """
+    env = vecenv.env
+    num_envs = vecenv.num_envs_total
+    total_agents = vecenv.num_agents
+
+    batch_size = config.batch_size
+    minibatch_size = config.minibatch_size or batch_size
+    horizon = config.bptt_horizon
+
+    if batch_size % total_agents != 0:
+        raise APIUsageError('batch_size must be divisible by total agents')
+    T = batch_size // total_agents
+    if T % horizon != 0:
+        raise APIUsageError(
+            f'rollout length {T} must be divisible by bptt_horizon')
+    if batch_size % minibatch_size != 0:
+        raise APIUsageError('batch_size must be divisible by minibatch_size')
+    if minibatch_size % horizon != 0:
+        raise APIUsageError(
+            'minibatch_size must be divisible by bptt_horizon')
+
+    num_minibatches = batch_size // minibatch_size
+    seg_rows = minibatch_size // horizon
+    num_segments = total_agents * (T // horizon)
+    if num_minibatches * seg_rows != num_segments:
+        raise APIUsageError('minibatch geometry does not tile the batch')
+
+    recurrent = isinstance(policy, RecurrentPolicy)
+
+    key = jax.random.PRNGKey(config.seed)
+    key, init_key, reset_key = jax.random.split(key, 3)
+
+    # init env lanes
+    reset_batch, step_batch = make_env_ops(env, vecenv.emulated)
+    lane_idx = jnp.arange(num_envs)
+    lane_keys = jax.vmap(jax.random.fold_in, (None, 0))(key, lane_idx)
+    reset_keys = jax.vmap(jax.random.fold_in, (None, 0))(
+        reset_key, lane_idx)
+    env_states, obs, dones = jax.jit(reset_batch)(reset_keys)
+
+    # init policy params
+    obs_example = obs[:1]
+    if recurrent:
+        params = policy.init(init_key, obs_example,
+            policy.initial_state(1))
+        lstm_state = policy.initial_state(total_agents)
+    else:
+        params = policy.init(init_key, obs_example)
+        lstm_state = None
+
+    tx = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-5)
+    opt_state = tx.init(params)
+
+    rollout_raw = make_rollout_fn(policy, step_batch, config, T)
+    update_raw = make_update_fn(policy, tx, config, T, total_agents,
+        num_minibatches, seg_rows)
+
+    carry = dict(
+        env=env_states,
+        done=dones,
+        obs=obs,
+        keys=lane_keys,
+        lstm=lstm_state,
+        key=key,
+    )
+
+    if mesh is None:
+        rollout_fn = jax.jit(rollout_raw, donate_argnums=(1,))
+        update_fn = jax.jit(update_raw, donate_argnums=(0, 1))
+    else:
+        from pufferlib_tpu.parallel import (
+            carry_shardings, batch_shardings, replicated)
+        repl = replicated(mesh)
+        c_shard = carry_shardings(mesh, carry)
+        # discover the batch structure without running anything
+        _, batch_shape, _, _ = jax.eval_shape(rollout_raw, params, carry)
+        b_shard = batch_shardings(mesh, recurrent)(batch_shape)
+        rollout_fn = jax.jit(rollout_raw,
+            in_shardings=(repl, c_shard),
+            out_shardings=(c_shard, b_shard, repl, repl),
+            donate_argnums=(1,))
+        update_fn = jax.jit(update_raw,
+            in_shardings=(repl, repl, b_shard, repl, repl),
+            out_shardings=(repl, repl, repl),
+            donate_argnums=(0, 1))
+        # place state per the shardings
+        params = jax.device_put(params, repl)
+        opt_state = jax.device_put(opt_state, repl)
+        carry = jax.device_put(carry, c_shard)
+
+    msg = f'Model Size: {count_params(params)} parameters'
+    data = namespace(
+        config=config,
+        vecenv=vecenv,
+        policy=policy,
+        params=params,
+        opt_state=opt_state,
+        carry=carry,
+        rollout_fn=rollout_fn,
+        update_fn=update_fn,
+        batch=None,
+        profile=Profile(),
+        losses=make_losses(),
+        wandb=wandb,
+        global_step=0,
+        epoch=0,
+        stats={},
+        infos={},
+        msg=msg,
+        last_log_time=0.0,
+        utilization=None,
+        dashboard=None,
+    )
+    return data
+
+
+def make_rollout_fn(policy, step_batch, config, T):
+    """One jitted program: T fused policy+env steps collecting the batch."""
+    recurrent = isinstance(policy, RecurrentPolicy)
+    horizon = config.bptt_horizon
+
+    def rollout(params, carry):
+        def one_step(c, _):
+            key, act_key = jax.random.split(c['key'])
+            obs = c['obs']
+            if recurrent:
+                action, logprob, _, value, lstm = policy(
+                    params, obs, c['lstm'], key=act_key)
+            else:
+                action, logprob, _, value = policy(
+                    params, obs, key=act_key)
+                lstm = c['lstm']
+
+            split = jax.vmap(lambda k: tuple(jax.random.split(k)))
+            new_keys, env_keys = split(c['keys'])
+            (env_states, done_next, next_obs, reward, done, trunc,
+                infos) = step_batch(c['env'], c['done'], action, env_keys)
+
+            out = dict(
+                obs=obs, action=action, logprob=logprob,
+                value=value.reshape(-1), reward=reward,
+                done=done.astype(jnp.float32), info=infos,
+                info_count=jnp.sum(
+                    jnp.logical_or(done, trunc).astype(jnp.float32)),
+            )
+            new_c = dict(env=env_states, done=done_next, obs=next_obs,
+                keys=new_keys, lstm=lstm, key=key)
+            return new_c, out
+
+        def one_segment(c, _):
+            lstm0 = c['lstm']
+            c, outs = jax.lax.scan(one_step, c, None, length=horizon)
+            return c, (outs, lstm0)
+
+        c = dict(carry)
+        c, (outs, lstm0) = jax.lax.scan(
+            one_segment, c, None, length=T // horizon)
+        # outs leaves: (T//h, h, N, ...) -> (T, N, ...)
+        outs = jax.tree.map(
+            lambda x: x.reshape((T,) + x.shape[2:]), outs)
+
+        # bootstrap value for GAE at the rollout end
+        if recurrent:
+            last_value = policy.get_value(params, c['obs'], c['lstm'])
+        else:
+            last_value = policy.get_value(params, c['obs'])
+        outs['last_value'] = last_value.reshape(-1)
+        if recurrent:
+            outs['lstm0'] = lstm0  # (T//h, layers, N, H) x2
+
+        # on-device info aggregation: sums + episode count
+        info_sums = jax.tree.map(
+            lambda x: jnp.sum(x, axis=(0, 1)) if x.ndim > 1
+            else jnp.sum(x), outs.pop('info'))
+        episode_count = jnp.sum(outs.pop('info_count'))
+        return c, outs, info_sums, episode_count
+
+    return jax.jit(rollout, donate_argnums=(1,))
+
+
+def make_update_fn(policy, tx, config, T, total_agents, num_minibatches,
+        seg_rows):
+    """One jitted program: GAE + update_epochs x minibatch PPO."""
+    recurrent = isinstance(policy, RecurrentPolicy)
+    h = config.bptt_horizon
+    n_seg = T // h
+    S = total_agents * n_seg
+    has_target_kl = config.target_kl is not None
+    target_kl = config.target_kl or 0.0
+
+    def segment(x):
+        # (T, N, ...) -> (S, h, ...) with segment s = n*n_seg + c
+        x = x.reshape((n_seg, h, total_agents) + x.shape[2:])
+        x = jnp.moveaxis(x, 2, 0)
+        return x.reshape((S, h) + x.shape[3:])
+
+    def segment_lstm(x):
+        # (n_seg, layers, N, H) -> (S, layers, H)
+        x = jnp.moveaxis(x, 2, 0)  # (N, n_seg, layers, H)
+        return x.reshape((S,) + x.shape[2:])
+
+    def update(params, opt_state, batch, key, lr):
+        advantages = compute_gae(batch['reward'], batch['value'],
+            batch['done'], batch['last_value'], config.gamma,
+            config.gae_lambda)
+        returns = advantages + batch['value']
+
+        seg_batch = dict(
+            obs=segment(batch['obs']),
+            action=segment(batch['action']),
+            logprob=segment(batch['logprob']),
+            value=segment(batch['value']),
+            advantages=segment(advantages),
+            returns=segment(returns),
+        )
+        if recurrent:
+            lstm_h = segment_lstm(batch['lstm0'][0])
+            lstm_c = segment_lstm(batch['lstm0'][1])
+
+        def minibatch_step(carry, mb_idx):
+            params, opt_state, stop = carry
+            take = lambda x: jnp.take(x, mb_idx, axis=0)
+            mb = jax.tree.map(take, seg_batch)
+
+            def loss_fn(p):
+                obs = mb['obs']  # (rows, h, numel)
+                action = mb['action'].reshape(
+                    (seg_rows * h,) + mb['action'].shape[2:])
+                if recurrent:
+                    state = (jnp.moveaxis(take(lstm_h), 0, 1),
+                        jnp.moveaxis(take(lstm_c), 0, 1))
+                    _, newlogprob, entropy, newvalue, _ = policy(
+                        p, obs, state, action=action)
+                else:
+                    flat_obs = obs.reshape((seg_rows * h,) + obs.shape[2:])
+                    _, newlogprob, entropy, newvalue = policy(
+                        p, flat_obs, action=action)
+                loss, stats = ppo_losses(
+                    newlogprob=newlogprob,
+                    logprob=mb['logprob'].reshape(-1),
+                    entropy=entropy,
+                    newvalue=newvalue,
+                    values=mb['value'].reshape(-1),
+                    advantages=mb['advantages'].reshape(-1),
+                    returns=mb['returns'].reshape(-1),
+                    clip_coef=config.clip_coef,
+                    vf_clip_coef=config.vf_clip_coef,
+                    vf_coef=config.vf_coef,
+                    ent_coef=config.ent_coef,
+                    norm_adv=config.norm_adv,
+                    clip_vloss=config.clip_vloss,
+                )
+                return loss, stats
+
+            grads, stats = jax.grad(loss_fn, has_aux=True)(params)
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, config.max_grad_norm / (gnorm + 1e-12))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(
+                params, jax.tree.map(lambda u: -lr * u, updates))
+
+            new_params = select_tree(stop, params, new_params)
+            new_opt = select_tree(stop, opt_state, new_opt)
+            return (new_params, new_opt, stop), stats
+
+        def epoch_step(carry, ep_key):
+            params, opt_state, stop = carry
+            if config.shuffle_minibatches:
+                idxs = jax.random.permutation(ep_key, S)
+            else:
+                idxs = jnp.arange(S)
+            mb_idxs = idxs.reshape(num_minibatches, seg_rows)
+            (params, opt_state, stop), stats = jax.lax.scan(
+                minibatch_step, (params, opt_state, stop), mb_idxs)
+            last_kl = stats['approx_kl'][-1]
+            if has_target_kl:
+                stop = jnp.logical_or(stop, last_kl > target_kl)
+            return (params, opt_state, stop), stats
+
+        ep_keys = jax.random.split(key, config.update_epochs)
+        (params, opt_state, _), stats = jax.lax.scan(
+            epoch_step, (params, opt_state, jnp.bool_(False)), ep_keys)
+        mean_stats = {k: jnp.mean(v) for k, v in stats.items()}
+
+        y_true = returns.reshape(-1)
+        y_pred = batch['value'].reshape(-1)
+        var_y = jnp.var(y_true)
+        mean_stats['explained_variance'] = jnp.where(
+            var_y == 0, jnp.nan, 1 - jnp.var(y_true - y_pred) / var_y)
+        return params, opt_state, mean_stats
+
+    return jax.jit(update, donate_argnums=(0, 1))
+
+
+@profile_deco
+def evaluate(data):
+    """Rollout phase: run the fused rollout program once, collect the
+    training batch on device, aggregate episode stats."""
+    config, profile = data.config, data.profile
+
+    with profile.eval_forward:
+        data.carry, batch, info_sums, episode_count = data.rollout_fn(
+            data.params, data.carry)
+        jax.block_until_ready(batch['reward'])
+
+    with profile.eval_misc:
+        data.batch = batch
+        data.global_step += config.batch_size
+
+        episode_count = float(episode_count)
+        stats = {}
+        info_sums = jax.tree.map(np.asarray, info_sums)
+        valid = info_sums.pop('_valid', None)
+        denom = float(np.sum(valid)) if valid is not None else episode_count
+        for k, v in info_sums.items():
+            if denom > 0:
+                stats[k] = float(np.sum(v)) / denom
+        data.stats = stats
+        data.infos = info_sums
+
+    return data.stats, data.infos
+
+
+@profile_deco
+def train(data):
+    """Update phase: one fused GAE+PPO program, then host-side logging,
+    lr anneal bookkeeping, and checkpointing."""
+    config, profile = data.config, data.profile
+    if data.batch is None:
+        raise APIUsageError('call evaluate() before train()')
+
+    with profile.learn:
+        lr = config.learning_rate
+        if config.anneal_lr:
+            frac = 1.0 - data.global_step / config.total_timesteps
+            lr = frac * config.learning_rate
+        data.carry['key'], update_key = jax.random.split(data.carry['key'])
+        data.params, data.opt_state, stats = data.update_fn(
+            data.params, data.opt_state, data.batch, update_key,
+            jnp.float32(lr))
+        jax.block_until_ready(stats['policy_loss'])
+
+    with profile.train_misc:
+        data.batch = None
+        losses = make_losses()
+        for k in losses:
+            if k in stats:
+                losses[k] = float(stats[k])
+        data.losses = losses
+        data.epoch += 1
+        data.last_lr = lr
+
+        done_training = data.global_step >= config.total_timesteps
+        if profile.update(data) or done_training:
+            if data.dashboard is not None:
+                data.dashboard(data)
+            elif config.verbose:
+                print(f'epoch {data.epoch} step {data.global_step} '
+                    f'SPS {profile.SPS:.3g} '
+                    f'loss {losses.policy_loss:.4f} '
+                    + ' '.join(f'{k}={v:.3f}' for k, v in
+                        data.stats.items()))
+            if data.wandb is not None and data.global_step > 0 and \
+                    time.time() - data.last_log_time > 3.0:
+                data.last_log_time = time.time()
+                data.wandb.log({
+                    '0verview/SPS': profile.SPS,
+                    '0verview/agent_steps': data.global_step,
+                    '0verview/epoch': data.epoch,
+                    '0verview/learning_rate': lr,
+                    **{f'environment/{k}': v for k, v in data.stats.items()},
+                    **{f'losses/{k}': v for k, v in data.losses.items()},
+                    **{f'performance/{k}': v for k, v in data.profile},
+                })
+
+        if data.epoch % config.checkpoint_interval == 0 or done_training:
+            ckpt.save_checkpoint(data)
+            data.msg = f'Checkpoint saved at update {data.epoch}'
+
+
+def close(data):
+    data.vecenv.close()
+    if data.wandb is not None:
+        model_path = ckpt.save_checkpoint(data)
+        artifact = data.wandb.Artifact(
+            f'{data.config.exp_id}_model', type='model')
+        artifact.add_file(model_path)
+        data.wandb.run.log_artifact(artifact)
+        data.wandb.finish()
+
+
+def train_loop(data):
+    """Convenience: run evaluate/train until total_timesteps."""
+    while data.global_step < data.config.total_timesteps:
+        evaluate(data)
+        train(data)
+    return data

@@ -102,9 +102,10 @@ def nativize_actions(flat_actions, space):
 
 def flatten_obs_batch(obs, space, emulated):
     """Structured obs pytree (B, ...) -> flat (B, numel) per the emulation
-    dtype spec. Pure bitcast/reshape/concat — free under XLA."""
+    dtype spec. Pure bitcast/reshape/concat — free under XLA. Box obs pass
+    through with their native shape (reference contract: emulation.py:99)."""
     if isinstance(space, spaces.Box):
-        return obs.reshape(obs.shape[0], -1)
+        return obs
 
     sample_dtype = np.dtype(emulated.observation_dtype)
     spec = emulation.nativize_dtype(emulated)
@@ -140,6 +141,57 @@ def flatten_obs_batch(obs, space, emulated):
             leaf = jax.lax.bitcast_convert_type(leaf, out.dtype)
         out = jax.lax.dynamic_update_slice_in_dim(out, leaf, offset, axis=1)
     return out
+
+
+def make_env_ops(env, emulated):
+    """Build the vmapped (reset_batch, step_batch) closures for an env.
+
+    reset_batch(keys)                 -> (states, flat_obs, dones)
+    step_batch(states, done_prev, flat_actions, keys)
+        -> (states, done_next, flat_obs, reward, done, trunc, infos)
+
+    flat obs/reward/done are agent-major (num_lanes*num_agents, ...).
+    Used by both the Device vector backend and the fused trainer, so the
+    step logic inside the training program is identical to the step-API.
+    """
+    obs_space = env.observation_space
+    atn_space = env.action_space
+
+    def flatten(obs):
+        if env.num_agents > 1:
+            obs = jax.tree.map(
+                lambda o: o.reshape((-1,) + o.shape[2:]), obs)
+        return flatten_obs_batch(obs, obs_space, emulated)
+
+    def reset_lane(key):
+        state, obs = env.reset(key)
+        done = jnp.zeros(
+            () if env.num_agents == 1 else (env.num_agents,), jnp.bool_)
+        return state, obs, done
+
+    def step_lane(state, done_prev, action, key):
+        return autoreset_step(env, state, done_prev, action, key)
+
+    def reset_batch(keys):
+        states, obs, dones = jax.vmap(reset_lane)(keys)
+        return states, flatten(obs), dones
+
+    def step_batch(states, done_prev, flat_actions, keys):
+        n_lanes = done_prev.shape[0]
+        per_lane = flat_actions.reshape((n_lanes * env.num_agents, -1))
+        native = nativize_actions(per_lane, atn_space)
+        if env.num_agents > 1:
+            native = jax.tree.map(
+                lambda a: a.reshape(
+                    (n_lanes, env.num_agents) + a.shape[1:]), native)
+        step, done_next = jax.vmap(step_lane)(states, done_prev, native, keys)
+        flat = lambda x: x.reshape((-1,) + x.shape[2:]) \
+            if env.num_agents > 1 else x
+        return (step.state, done_next, flatten(step.obs),
+            flat(step.reward), flat(step.done), flat(step.truncated),
+            jax.tree.map(flat, step.info))
+
+    return reset_batch, step_batch
 
 
 def check_envs(envs, driver):
@@ -202,51 +254,7 @@ class Device:
 
     # ---- program construction ---------------------------------------
     def _build(self):
-        env = self.env
-        obs_space = env.observation_space
-        atn_space = env.action_space
-        emulated = self.emulated
-
-        def flatten(obs):
-            # obs: (B, [A,] ...) -> (B*A, numel)
-            if env.num_agents > 1:
-                obs = jax.tree.map(
-                    lambda o: o.reshape((-1,) + o.shape[2:]), obs)
-            return flatten_obs_batch(obs, obs_space, emulated)
-
-        def reset_lane(key):
-            state, obs = env.reset(key)
-            done = jnp.zeros(
-                () if env.num_agents == 1 else (env.num_agents,), jnp.bool_)
-            return state, obs, done
-
-        def step_lane(state, done_prev, action, key):
-            step, done_next = autoreset_step(env, state, done_prev,
-                action, key)
-            return step, done_next
-
-        def reset_batch(keys):
-            states, obs, dones = jax.vmap(reset_lane)(keys)
-            return states, flatten(obs), dones
-
-        def step_batch(states, done_prev, flat_actions, keys):
-            # nativize flat actions, splitting per agent for multi-agent
-            per_lane = flat_actions.reshape(
-                (done_prev.shape[0] * env.num_agents, -1))
-            native = nativize_actions(per_lane, atn_space)
-            if env.num_agents > 1:
-                native = jax.tree.map(
-                    lambda a: a.reshape(
-                        (done_prev.shape[0], env.num_agents) + a.shape[1:]),
-                    native)
-            step, done_next = jax.vmap(step_lane)(
-                states, done_prev, native, keys)
-            flat = lambda x: x.reshape((-1,) + x.shape[2:]) \
-                if env.num_agents > 1 else x
-            return (step.state, done_next, flatten(step.obs),
-                flat(step.reward), flat(step.done), flat(step.truncated),
-                jax.tree.map(flat, step.info))
-
+        reset_batch, step_batch = make_env_ops(self.env, self.emulated)
         self._reset_batch = jax.jit(reset_batch)
         self._step_batch = jax.jit(step_batch, donate_argnums=(0,))
 

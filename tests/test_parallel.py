@@ -1,0 +1,66 @@
+"""Multi-device sharding: training on an 8-device CPU mesh must work and
+agree with single-device training (the analog of the reference's
+multi-backend equivalence contract, extended to the mesh)."""
+import numpy as np
+import jax
+import pytest
+
+import pufferlib_tpu.vector as vector
+from pufferlib_tpu.models import Default, LSTMWrapper, Policy, RecurrentPolicy
+from pufferlib_tpu.ocean import env_creator
+from pufferlib_tpu.parallel import make_mesh
+from pufferlib_tpu.training import ppo
+
+
+def make_data(mesh=None, recurrent=False, seed=3):
+    creator = env_creator('squared')
+    vecenv = vector.make(creator, backend=vector.Device, num_envs=16)
+    obs_shape = vecenv.single_observation_space.shape
+    atn_space = vecenv.single_action_space
+    if recurrent:
+        module = LSTMWrapper(
+            policy=Default(obs_shape=obs_shape, action_space=atn_space,
+                hidden_size=32),
+            obs_shape=obs_shape, input_size=32, hidden_size=32)
+        policy = RecurrentPolicy(module)
+    else:
+        policy = Policy(Default(obs_shape=obs_shape,
+            action_space=atn_space, hidden_size=32))
+    config = ppo.default_config(env='squared', batch_size=512,
+        minibatch_size=256, bptt_horizon=8, total_timesteps=2048,
+        verbose=False, seed=seed, data_dir='/tmp/puffer_tpu_test')
+    return ppo.create(config, vecenv, policy, mesh=mesh)
+
+
+def test_mesh_training_runs():
+    assert len(jax.devices()) == 8, 'conftest should give 8 CPU devices'
+    mesh = make_mesh(8)
+    data = make_data(mesh=mesh)
+    ppo.evaluate(data)
+    ppo.train(data)
+    assert np.isfinite(data.losses.policy_loss)
+    # env lanes really sharded across devices
+    leaf = jax.tree.leaves(data.carry['env'])[0]
+    assert len(leaf.sharding.device_set) == 8
+
+
+def test_mesh_training_lstm():
+    mesh = make_mesh(8)
+    data = make_data(mesh=mesh, recurrent=True)
+    ppo.evaluate(data)
+    ppo.train(data)
+    assert np.isfinite(data.losses.policy_loss)
+
+
+def test_mesh_matches_single_device():
+    mesh = make_mesh(8)
+    d_mesh = make_data(mesh=mesh, seed=11)
+    d_single = make_data(mesh=None, seed=11)
+    ppo.evaluate(d_mesh)
+    ppo.evaluate(d_single)
+    ppo.train(d_mesh)
+    ppo.train(d_single)
+    for a, b in zip(jax.tree.leaves(d_mesh.params),
+            jax.tree.leaves(d_single.params)):
+        assert np.allclose(np.asarray(a), np.asarray(b),
+            rtol=1e-4, atol=1e-5)

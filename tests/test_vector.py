@@ -37,12 +37,17 @@ def test_device_matches_serial(name):
         actions = random_actions(atn_n, n, rng)
         od, rd, dd, td, infd = dev.step(actions)
         os_, rs, ds, ts, infs = ser.step(actions)
-        assert np.allclose(np.asarray(od), np.asarray(os_)), (name, t)
-        assert np.allclose(np.asarray(rd), np.asarray(rs)), (name, t)
+        # jitted (fused) vs eager float math differs at ~1e-7; the
+        # behavioral contract is equality up to fusion rounding
+        assert np.allclose(np.asarray(od), np.asarray(os_),
+            atol=1e-5), (name, t)
+        assert np.allclose(np.asarray(rd), np.asarray(rs),
+            atol=1e-5), (name, t)
         assert np.array_equal(np.asarray(dd), np.asarray(ds)), (name, t)
         assert np.array_equal(np.asarray(td), np.asarray(ts)), (name, t)
         for k in infd:
-            assert np.allclose(np.asarray(infd[k]), np.asarray(infs[k]))
+            assert np.allclose(np.asarray(infd[k]), np.asarray(infs[k]),
+                atol=1e-5)
 
 
 def test_multiagent_device_matches_serial():
@@ -142,9 +147,9 @@ def test_sync_step_full_batch():
     dev = vector.make(creator, env_kwargs=dict(episode_stats=False),
         backend=vector.Device, num_envs=8)
     obs, _ = dev.reset()
-    assert obs.shape == (8, 49)  # 7x7 grid flattened
+    assert obs.shape == (8, 7, 7)  # Box obs keep native shape
     rng = np.random.RandomState(0)
     for _ in range(3):
         obs, rew, done, trunc, infos = dev.step(random_actions(8, 8, rng))
-        assert obs.shape == (8, 49)
+        assert obs.shape == (8, 7, 7)
         assert rew.shape == (8,)
