@@ -1,0 +1,81 @@
+"""Headline benchmark: aggregate PPO throughput on Ocean (squared).
+
+Measures end-to-end env-steps/s of the fused trainer (rollout + GAE +
+PPO update, all on device) — the analog of the reference's envpool SPS
+numbers (BASELINE.md). Baseline target: 10M env-steps/s on one host
+(driver north star).
+
+Prints ONE JSON line:
+  {"metric": "ocean_squared_ppo_sps", "value": N, "unit": "steps/s",
+   "vs_baseline": N/1e7}
+"""
+import json
+import os
+import time
+
+BASELINE_SPS = 10_000_000.0
+
+
+def main():
+    smoke = os.environ.get('BENCH_SMOKE') == '1'
+    if smoke:
+        os.environ.setdefault(
+            'XLA_FLAGS', '--xla_force_host_platform_device_count=8')
+
+    import jax
+    if smoke:
+        jax.config.update('jax_platforms', 'cpu')
+
+    import pufferlib_tpu.vector as vector
+    from pufferlib_tpu.models import Default, Policy
+    from pufferlib_tpu.ocean import env_creator
+    from pufferlib_tpu.training import ppo
+
+    if smoke:
+        num_envs, horizon, hidden, epochs = 64, 16, 64, 3
+    else:
+        num_envs = int(os.environ.get('BENCH_NUM_ENVS', 8192))
+        horizon = int(os.environ.get('BENCH_HORIZON', 64))
+        hidden = int(os.environ.get('BENCH_HIDDEN', 128))
+        epochs = int(os.environ.get('BENCH_EPOCHS', 5))
+
+    batch_size = num_envs * horizon
+    vecenv = vector.make(env_creator('squared'),
+        env_kwargs=dict(distance_to_target=3, num_targets=1),
+        backend=vector.Device, num_envs=num_envs)
+    policy = Policy(Default(
+        obs_shape=vecenv.single_observation_space.shape,
+        action_space=vecenv.single_action_space, hidden_size=hidden))
+    config = ppo.default_config(
+        env='squared',
+        batch_size=batch_size,
+        minibatch_size=batch_size // 4,
+        bptt_horizon=16,
+        total_timesteps=batch_size * (epochs + 2),
+        verbose=False,
+        data_dir='/tmp/puffer_tpu_bench',
+        checkpoint_interval=10_000,
+    )
+    data = ppo.create(config, vecenv, policy)
+
+    # warmup: compile both programs
+    ppo.evaluate(data)
+    ppo.train(data)
+
+    start = time.perf_counter()
+    for _ in range(epochs):
+        ppo.evaluate(data)
+        ppo.train(data)
+    elapsed = time.perf_counter() - start
+
+    sps = epochs * batch_size / elapsed
+    print(json.dumps({
+        'metric': 'ocean_squared_ppo_sps',
+        'value': round(sps, 1),
+        'unit': 'steps/s',
+        'vs_baseline': round(sps / BASELINE_SPS, 4),
+    }))
+
+
+if __name__ == '__main__':
+    main()

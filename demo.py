@@ -1,0 +1,224 @@
+"""CLI entry point: train / eval / sweep / autotune / profile / bench.
+
+Parity: reference demo.py:220-294. Examples:
+
+    python demo.py --env squared --mode train
+    python demo.py --env memory --mode train --train.learning_rate 0.01
+    python demo.py --env squared --mode eval --model-path experiments/...
+    python demo.py --env squared --mode autotune
+"""
+import importlib
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def init_wandb(args, resume=True):
+    import wandb
+    wandb.init(
+        id=args.exp_id or wandb.util.generate_id(),
+        project=args.wandb_project,
+        group=args.wandb_group,
+        allow_val_change=True,
+        save_code=True,
+        resume=resume,
+        config={
+            'train': dict(args.train),
+            'env': dict(args.env_kwargs),
+            'policy': dict(args.policy),
+        },
+    )
+    return wandb
+
+
+def make_vecenv(args, creator, backend_name=None, num_envs=None):
+    import pufferlib_tpu.vector as vector
+    backend = {
+        'device': vector.Device,
+        'serial': vector.Serial,
+        'multiprocessing': vector.Device,  # device engine subsumes MP
+    }[backend_name or args.vec]
+    return vector.make(creator, env_kwargs=dict(args.env_kwargs),
+        backend=backend, num_envs=num_envs or args.train.num_envs)
+
+
+def train(args, env_module, creator):
+    from pufferlib_tpu.config.cli import make_policy
+    from pufferlib_tpu.training import ppo
+    from pufferlib_tpu.training.dashboard import (
+        Utilization, make_dashboard_hook)
+
+    wandb = init_wandb(args) if args.track else None
+    vecenv = make_vecenv(args, creator)
+    policy = make_policy(vecenv, env_module, args)
+
+    train_cfg = dict(args.train)
+    train_cfg.pop('num_envs', None)
+    config = ppo.default_config(env=args.env, exp_id=args.exp_id,
+        **train_cfg)
+    data = ppo.create(config, vecenv, policy, wandb=wandb)
+    data.utilization = Utilization()
+    if config.verbose and sys.stdout.isatty():
+        data.dashboard = make_dashboard_hook()
+
+    from pufferlib_tpu.training import checkpoint as ckpt
+    if args.exp_id:
+        ckpt.try_load_checkpoint(data)
+
+    try:
+        while data.global_step < config.total_timesteps:
+            ppo.evaluate(data)
+            ppo.train(data)
+    except KeyboardInterrupt:
+        print('\nInterrupted; saving checkpoint')
+        ckpt.save_checkpoint(data)
+    finally:
+        data.utilization.stop()
+        ppo.close(data)
+    return data
+
+
+def evaluate(args, env_module, creator):
+    """Render rollout with a trained policy (reference
+    clean_pufferl.py:551-594)."""
+    import jax
+    from pufferlib_tpu.config.cli import make_policy
+    from pufferlib_tpu.models import RecurrentPolicy
+    from pufferlib_tpu.training import checkpoint as ckpt
+
+    vecenv = make_vecenv(args, creator, backend_name='serial', num_envs=1)
+    policy = make_policy(vecenv, env_module, args)
+    key = jax.random.PRNGKey(0)
+    obs, _ = vecenv.reset()
+    if isinstance(policy, RecurrentPolicy):
+        params = policy.init(key, np.asarray(obs),
+            policy.initial_state(1))
+        state = policy.initial_state(vecenv.num_agents)
+    else:
+        params = policy.init(key, np.asarray(obs))
+        state = None
+
+    if args.model_path:
+        params = ckpt.load_pytree(args.model_path)
+
+    recurrent = isinstance(policy, RecurrentPolicy)
+    frames = int(os.environ.get('PUFFER_EVAL_STEPS', 10 ** 9))
+    for _ in range(frames):
+        env = vecenv.env
+        if hasattr(env, 'render') and vecenv._states:
+            try:
+                print('\033[0;0H' + env.render(vecenv._states[0]) + '\n')
+            except NotImplementedError:
+                pass
+        key, sub = jax.random.split(key)
+        if recurrent:
+            action, _, _, _, state = policy(params, obs, state, key=sub)
+        else:
+            action, _, _, _ = policy(params, obs, key=sub)
+        obs, reward = vecenv.step(np.asarray(action))[:2]
+        print(f'Reward: {float(np.mean(reward)):.4f}')
+        time.sleep(0.3)
+
+
+def autotune(args, env_module, creator, time_per_config=5.0):
+    """Find the num_envs that maximizes on-device rollout SPS — the
+    analog of reference vector.autotune (vector.py:669-854), which tuned
+    workers/batch for the process pool. On TPU the knob is lane count."""
+    import jax
+    import pufferlib_tpu.vector as vector
+
+    results = {}
+    n = 128
+    print(f'{"num_envs":>10} {"SPS":>14} {"steps/lane/s":>14}')
+    while n <= 65536:
+        try:
+            vecenv = make_vecenv(args, creator, backend_name='device',
+                num_envs=n)
+            obs, _ = vecenv.reset(seed=1)
+            atn = vecenv.single_action_space
+            import numpy as _np
+            rng = _np.random.RandomState(0)
+            if hasattr(atn, 'n'):
+                sample = lambda: rng.randint(
+                    0, atn.n, vecenv.num_agents).astype(_np.int32)
+            else:
+                sample = lambda: rng.randint(0, _np.asarray(atn.nvec),
+                    (vecenv.num_agents, len(atn.nvec))).astype(_np.int32)
+            # warmup
+            vecenv.step(sample())
+            steps = 0
+            start = time.perf_counter()
+            while time.perf_counter() - start < time_per_config:
+                out = vecenv.step(sample())
+                steps += vecenv.num_agents
+            jax.block_until_ready(out[0])
+            elapsed = time.perf_counter() - start
+            sps = steps / elapsed
+            results[n] = sps
+            print(f'{n:>10} {sps:>14.0f} {sps / n:>14.1f}')
+        except Exception as e:
+            print(f'{n:>10} failed: {e}')
+            break
+        n *= 4
+    best = max(results, key=results.get)
+    print(f'Best: --train.num_envs {best} ({results[best]:.0f} SPS)')
+    return results
+
+
+def profile(args, env_module, creator):
+    import cProfile
+    import pstats
+    args.train['total_timesteps'] = args.train['batch_size'] * 4
+    with cProfile.Profile() as pr:
+        train(args, env_module, creator)
+    stats = pstats.Stats(pr)
+    stats.sort_stats('cumulative').print_stats(10)
+
+
+def sweep(args, env_module, creator, num_runs=10):
+    """Random-search sweep over learning rate / entropy (local fallback;
+    use --track for wandb sweeps)."""
+    rng = np.random.RandomState(0)
+    results = []
+    for i in range(num_runs):
+        lr = 10 ** rng.uniform(-4, -1.5)
+        ent = 10 ** rng.uniform(-3, -1)
+        args.train['learning_rate'] = float(lr)
+        args.train['ent_coef'] = float(ent)
+        args.train['verbose'] = False
+        try:
+            data = train(args, env_module, creator)
+            score = data.stats.get('score', data.stats.get(
+                'episode_return', 0.0))
+            results.append(dict(lr=lr, ent_coef=ent, score=float(score)))
+            print(json.dumps(results[-1]))
+        except Exception as e:
+            print(f'run {i} failed: {e}')
+    results.sort(key=lambda r: -r['score'])
+    print('Best:', json.dumps(results[0]) if results else 'none')
+    return results
+
+
+def main(argv=None):
+    from pufferlib_tpu.config.cli import load_config
+    args, env_module, creator = load_config(argv=argv)
+
+    if args.mode == 'train':
+        train(args, env_module, creator)
+    elif args.mode == 'eval':
+        evaluate(args, env_module, creator)
+    elif args.mode == 'autotune':
+        autotune(args, env_module, creator)
+    elif args.mode == 'profile':
+        profile(args, env_module, creator)
+    elif args.mode == 'sweep':
+        sweep(args, env_module, creator)
+    elif args.mode == 'bench':
+        os.system(f'{sys.executable} bench.py')
+
+
+if __name__ == '__main__':
+    main()

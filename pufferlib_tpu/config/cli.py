@@ -1,0 +1,168 @@
+"""Layered YAML config + signature-introspected CLI.
+
+Parity: reference demo.py:22-99 — config.yaml sections merge
+default -> package -> env, then env/policy/rnn __init__ signatures
+(get_init_args) auto-generate argparse flags like --train.learning_rate,
+--env.num_targets, with bool negation. The result is a namespace tree.
+"""
+import argparse
+import ast
+import importlib
+import os
+
+from pufferlib_tpu.exceptions import APIUsageError
+from pufferlib_tpu.namespace import Namespace, namespace
+from pufferlib_tpu.utils import get_init_args
+
+CONFIG_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), 'config.yaml')
+
+
+def _deep_update(base, extra):
+    for k, v in extra.items():
+        if isinstance(v, dict) and isinstance(base.get(k), dict):
+            _deep_update(base[k], v)
+        else:
+            base[k] = v
+    return base
+
+
+def load_yaml_config(env_name, path=None):
+    import yaml
+    with open(path or CONFIG_PATH) as f:
+        raw = yaml.safe_load(f)
+
+    if env_name not in raw:
+        # fall back to default + package guess
+        merged = dict(raw['default'])
+        merged.setdefault('env', {})['name'] = env_name
+        return merged
+
+    section = raw[env_name]
+    package = section.get('package', raw['default'].get('package'))
+    merged = {}
+    _deep_update(merged, raw['default'])
+    if package in raw and package != env_name:
+        _deep_update(merged, raw[package])
+    _deep_update(merged, section)
+    merged['package'] = package
+    return merged
+
+
+def resolve_env_module(package):
+    """Import the env package: ocean is first-party; everything else
+    lives under pufferlib_tpu.environments.<package> (host bridge)."""
+    if package == 'ocean':
+        return importlib.import_module('pufferlib_tpu.ocean')
+    return importlib.import_module(f'pufferlib_tpu.environments.{package}')
+
+
+def _parse_value(text):
+    try:
+        return ast.literal_eval(text)
+    except (ValueError, SyntaxError):
+        return text
+
+
+def _add_section_flags(parser, section, values):
+    for key, default in values.items():
+        flag = f'--{section}.{key}'
+        if isinstance(default, bool):
+            parser.add_argument(flag, type=_parse_value, default=default)
+            parser.add_argument(f'--no-{section}.{key}',
+                dest=f'{section}.{key}', action='store_false')
+        else:
+            parser.add_argument(flag, type=_parse_value, default=default)
+
+
+def load_config(env_name=None, argv=None, config_path=None):
+    """Build the merged config namespace from yaml + CLI flags."""
+    base = argparse.ArgumentParser(add_help=False)
+    base.add_argument('--env', '--environment', default=env_name
+        or 'squared')
+    base.add_argument('--mode', default='train', choices=(
+        'train', 'eval', 'sweep', 'autotune', 'profile', 'bench'))
+    base.add_argument('--vec', default='device',
+        choices=('device', 'serial', 'multiprocessing'))
+    base.add_argument('--exp-id', '--exp-name', default=None)
+    base.add_argument('--model-path', default=None)
+    base.add_argument('--track', action='store_true')
+    base.add_argument('--config', default=config_path)
+    base.add_argument('--wandb-project', default='pufferlib-tpu')
+    base.add_argument('--wandb-group', default='debug')
+    args, remaining = base.parse_known_args(argv)
+
+    cfg = load_yaml_config(args.env, args.config)
+    package = cfg['package']
+    env_module = resolve_env_module(package)
+
+    # introspect creator defaults and merge under env section
+    env_cfg = dict(cfg.get('env', {}))
+    creator_name = env_cfg.pop('name', args.env)
+    creator = env_module.env_creator(creator_name)
+    init_args = get_init_args(creator)
+    for k, v in init_args.items():
+        env_cfg.setdefault(k, v)
+
+    parser = argparse.ArgumentParser(parents=[base])
+    _add_section_flags(parser, 'train', cfg.get('train', {}))
+    _add_section_flags(parser, 'env', env_cfg)
+    _add_section_flags(parser, 'policy', cfg.get('policy', {}))
+    _add_section_flags(parser, 'rnn', cfg.get('rnn', {}))
+    parser.add_argument('--use-rnn', type=_parse_value,
+        default=cfg.get('use_rnn', False))
+    parsed = vars(parser.parse_args(argv))
+
+    out = namespace(
+        env=args.env,
+        env_name=creator_name,
+        mode=parsed['mode'],
+        vec=parsed['vec'],
+        exp_id=parsed['exp_id'],
+        model_path=parsed['model_path'],
+        track=parsed['track'],
+        use_rnn=parsed['use_rnn'],
+        wandb_project=parsed['wandb_project'],
+        wandb_group=parsed['wandb_group'],
+        package=package,
+        train=namespace(),
+        env_kwargs=namespace(),
+        policy=namespace(),
+        rnn=namespace(),
+    )
+    for key, value in parsed.items():
+        if '.' not in key:
+            continue
+        section, name = key.split('.', 1)
+        target = {'train': out.train, 'env': out.env_kwargs,
+            'policy': out.policy, 'rnn': out.rnn}[section]
+        target[name] = value
+    return out, env_module, creator
+
+
+def make_policy(vecenv, env_module, args):
+    """Build the policy for a vecenv (reference demo.py:101-110): use the
+    env package's Policy/Recurrent if defined, else Default (+LSTM)."""
+    from pufferlib_tpu.models import (
+        Default, LSTMWrapper, Policy, RecurrentPolicy)
+
+    obs_shape = vecenv.single_observation_space.shape
+    atn_space = vecenv.single_action_space
+
+    policy_cls = getattr(env_module, 'Policy', None)
+    if policy_cls is not None:
+        module = policy_cls(obs_shape=obs_shape, action_space=atn_space,
+            **dict(args.policy))
+    else:
+        module = Default(obs_shape=obs_shape, action_space=atn_space,
+            **dict(args.policy))
+
+    if args.use_rnn:
+        hidden = dict(args.rnn).get('hidden_size',
+            dict(args.policy).get('hidden_size', 128))
+        module = LSTMWrapper(policy=module, obs_shape=obs_shape,
+            input_size=hidden, hidden_size=hidden,
+            **{k: v for k, v in dict(args.rnn).items()
+                if k != 'hidden_size'})
+        return RecurrentPolicy(module)
+    return Policy(module)
