@@ -58,14 +58,15 @@ def main():
     )
     data = ppo.create(config, vecenv, policy)
 
-    # warmup: compile both programs
-    ppo.evaluate(data)
-    ppo.train(data)
+    # warmup: compile the fused program
+    ppo.step(data)
+    ppo.step(data)
+    jax.block_until_ready(data.carry['obs'])
 
     start = time.perf_counter()
     for _ in range(epochs):
-        ppo.evaluate(data)
-        ppo.train(data)
+        ppo.step(data)
+    jax.block_until_ready(data.carry['obs'])
     elapsed = time.perf_counter() - start
 
     sps = epochs * batch_size / elapsed

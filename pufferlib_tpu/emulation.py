@@ -147,6 +147,28 @@ def nativize(arr, space, struct_dtype):
     return _nativize_np(struct, space)
 
 
+def nativize_multidiscrete(action, space):
+    """Unpack a flat MultiDiscrete action vector into the nested action
+    space it emulates (one component per Discrete leaf, depth-first —
+    inverse of emulate_action_space). Host-side numpy."""
+    flat = np.asarray(action).ravel()
+    pos = [0]
+
+    def build(sp):
+        if isinstance(sp, spaces.Discrete):
+            value = int(flat[pos[0]])
+            pos[0] += 1
+            return value
+        if isinstance(sp, spaces.Dict):
+            return {k: build(v) for k, v in sp.items()}
+        if isinstance(sp, spaces.Tuple):
+            return tuple(build(s) for s in sp)
+        raise ValueError(
+            f'Nested action spaces must have Discrete leaves, got {sp}')
+
+    return build(space)
+
+
 # --------------------------------------------------------------------------
 # Trace-time nativize specs (the analog of pytorch.py:48-98)
 

@@ -154,9 +154,22 @@ def create(config, vecenv, policy, wandb=None, mesh=None):
         key=key,
     )
 
+    def step_raw(params, opt_state, carry, lr):
+        """Fused epoch: rollout + GAE + PPO update in ONE XLA program —
+        a single device dispatch per epoch, zero host round-trips. The
+        trainer PRNG chain advances inside the program, so back-to-back
+        epochs pipeline asynchronously on device."""
+        key, update_key = jax.random.split(carry['key'])
+        carry = {**carry, 'key': key}
+        carry, batch, info_sums, episode_count = rollout_raw(params, carry)
+        params, opt_state, stats = update_raw(
+            params, opt_state, batch, update_key, lr)
+        return params, opt_state, carry, stats, info_sums, episode_count
+
     if mesh is None:
         rollout_fn = jax.jit(rollout_raw, donate_argnums=(1,))
         update_fn = jax.jit(update_raw, donate_argnums=(0, 1))
+        step_fn = jax.jit(step_raw, donate_argnums=(0, 1, 2))
     else:
         from pufferlib_tpu.parallel import (
             carry_shardings, batch_shardings, replicated)
@@ -173,6 +186,10 @@ def create(config, vecenv, policy, wandb=None, mesh=None):
             in_shardings=(repl, repl, b_shard, repl, repl),
             out_shardings=(repl, repl, repl),
             donate_argnums=(0, 1))
+        step_fn = jax.jit(step_raw,
+            in_shardings=(repl, repl, c_shard, repl),
+            out_shardings=(repl, repl, c_shard, repl, repl, repl),
+            donate_argnums=(0, 1, 2))
         # place state per the shardings
         params = jax.device_put(params, repl)
         opt_state = jax.device_put(opt_state, repl)
@@ -188,6 +205,8 @@ def create(config, vecenv, policy, wandb=None, mesh=None):
         carry=carry,
         rollout_fn=rollout_fn,
         update_fn=update_fn,
+        step_fn=step_fn,
+        pending=None,
         batch=None,
         profile=Profile(),
         losses=make_losses(),
@@ -265,7 +284,97 @@ def make_rollout_fn(policy, step_batch, config, T):
         episode_count = jnp.sum(outs.pop('info_count'))
         return c, outs, info_sums, episode_count
 
-    return jax.jit(rollout, donate_argnums=(1,))
+    return rollout
+
+
+def make_epoch_runner(policy, tx, config, seg_rows, num_minibatches, S):
+    """The PPO epoch x minibatch scan over pre-segmented data.
+
+    seg_batch: dict of (S, h, ...) arrays (obs/action/logprob/value/
+    advantages/returns [+ lstm_h/lstm_c (S, layers, H)]). Shared by the
+    fused on-device trainer and the host-env trainer (ppo_host)."""
+    recurrent = isinstance(policy, RecurrentPolicy)
+    h = config.bptt_horizon
+    has_target_kl = config.target_kl is not None
+    target_kl = config.target_kl or 0.0
+
+    def run_epochs(params, opt_state, seg_batch, key, lr):
+        def minibatch_step(carry, mb):
+            params, opt_state, stop = carry
+
+            def loss_fn(p):
+                obs = mb['obs']  # (rows, h, numel)
+                action = mb['action'].reshape(
+                    (seg_rows * h,) + mb['action'].shape[2:])
+                if recurrent:
+                    state = (jnp.moveaxis(mb['lstm_h'], 0, 1),
+                        jnp.moveaxis(mb['lstm_c'], 0, 1))
+                    _, newlogprob, entropy, newvalue, _ = policy(
+                        p, obs, state, action=action)
+                else:
+                    flat_obs = obs.reshape((seg_rows * h,) + obs.shape[2:])
+                    _, newlogprob, entropy, newvalue = policy(
+                        p, flat_obs, action=action)
+                loss, stats = ppo_losses(
+                    newlogprob=newlogprob,
+                    logprob=mb['logprob'].reshape(-1),
+                    entropy=entropy,
+                    newvalue=newvalue,
+                    values=mb['value'].reshape(-1),
+                    advantages=mb['advantages'].reshape(-1),
+                    returns=mb['returns'].reshape(-1),
+                    clip_coef=config.clip_coef,
+                    vf_clip_coef=config.vf_clip_coef,
+                    vf_coef=config.vf_coef,
+                    ent_coef=config.ent_coef,
+                    norm_adv=config.norm_adv,
+                    clip_vloss=config.clip_vloss,
+                    mask=mb.get('mask', jnp.ones(1)).reshape(-1)
+                        if 'mask' in mb else None,
+                )
+                return loss, stats
+
+            grads, stats = jax.grad(loss_fn, has_aux=True)(params)
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, config.max_grad_norm / (gnorm + 1e-12))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(
+                params, jax.tree.map(lambda u: -lr * u, updates))
+
+            new_params = select_tree(stop, params, new_params)
+            new_opt = select_tree(stop, opt_state, new_opt)
+            return (new_params, new_opt, stop), stats
+
+        # pre-stack the deterministic minibatch partition once: scan
+        # consumes slices directly (no gathers on the hot path)
+        stacked = jax.tree.map(
+            lambda x: x.reshape(
+                (num_minibatches, seg_rows) + x.shape[1:]), seg_batch)
+
+        def epoch_step(carry, ep_key):
+            params, opt_state, stop = carry
+            if config.shuffle_minibatches:
+                idxs = jax.random.permutation(ep_key, S)
+                mb_idxs = idxs.reshape(num_minibatches, seg_rows)
+                mbs = jax.tree.map(
+                    lambda x: jnp.take(x, mb_idxs, axis=0), seg_batch)
+            else:
+                mbs = stacked
+            (params, opt_state, stop), stats = jax.lax.scan(
+                minibatch_step, (params, opt_state, stop), mbs)
+            last_kl = stats['approx_kl'][-1]
+            if has_target_kl:
+                stop = jnp.logical_or(stop, last_kl > target_kl)
+            return (params, opt_state, stop), stats
+
+        ep_keys = jax.random.split(key, config.update_epochs)
+        (params, opt_state, _), stats = jax.lax.scan(
+            epoch_step, (params, opt_state, jnp.bool_(False)), ep_keys)
+        mean_stats = {k: jnp.mean(v) for k, v in stats.items()}
+        return params, opt_state, mean_stats
+
+    return run_epochs
 
 
 def make_update_fn(policy, tx, config, T, total_agents, num_minibatches,
@@ -275,8 +384,8 @@ def make_update_fn(policy, tx, config, T, total_agents, num_minibatches,
     h = config.bptt_horizon
     n_seg = T // h
     S = total_agents * n_seg
-    has_target_kl = config.target_kl is not None
-    target_kl = config.target_kl or 0.0
+    run_epochs = make_epoch_runner(
+        policy, tx, config, seg_rows, num_minibatches, S)
 
     def segment(x):
         # (T, N, ...) -> (S, h, ...) with segment s = n*n_seg + c
@@ -304,74 +413,11 @@ def make_update_fn(policy, tx, config, T, total_agents, num_minibatches,
             returns=segment(returns),
         )
         if recurrent:
-            lstm_h = segment_lstm(batch['lstm0'][0])
-            lstm_c = segment_lstm(batch['lstm0'][1])
+            seg_batch['lstm_h'] = segment_lstm(batch['lstm0'][0])
+            seg_batch['lstm_c'] = segment_lstm(batch['lstm0'][1])
 
-        def minibatch_step(carry, mb_idx):
-            params, opt_state, stop = carry
-            take = lambda x: jnp.take(x, mb_idx, axis=0)
-            mb = jax.tree.map(take, seg_batch)
-
-            def loss_fn(p):
-                obs = mb['obs']  # (rows, h, numel)
-                action = mb['action'].reshape(
-                    (seg_rows * h,) + mb['action'].shape[2:])
-                if recurrent:
-                    state = (jnp.moveaxis(take(lstm_h), 0, 1),
-                        jnp.moveaxis(take(lstm_c), 0, 1))
-                    _, newlogprob, entropy, newvalue, _ = policy(
-                        p, obs, state, action=action)
-                else:
-                    flat_obs = obs.reshape((seg_rows * h,) + obs.shape[2:])
-                    _, newlogprob, entropy, newvalue = policy(
-                        p, flat_obs, action=action)
-                loss, stats = ppo_losses(
-                    newlogprob=newlogprob,
-                    logprob=mb['logprob'].reshape(-1),
-                    entropy=entropy,
-                    newvalue=newvalue,
-                    values=mb['value'].reshape(-1),
-                    advantages=mb['advantages'].reshape(-1),
-                    returns=mb['returns'].reshape(-1),
-                    clip_coef=config.clip_coef,
-                    vf_clip_coef=config.vf_clip_coef,
-                    vf_coef=config.vf_coef,
-                    ent_coef=config.ent_coef,
-                    norm_adv=config.norm_adv,
-                    clip_vloss=config.clip_vloss,
-                )
-                return loss, stats
-
-            grads, stats = jax.grad(loss_fn, has_aux=True)(params)
-            gnorm = optax.global_norm(grads)
-            scale = jnp.minimum(1.0, config.max_grad_norm / (gnorm + 1e-12))
-            grads = jax.tree.map(lambda g: g * scale, grads)
-            updates, new_opt = tx.update(grads, opt_state, params)
-            new_params = optax.apply_updates(
-                params, jax.tree.map(lambda u: -lr * u, updates))
-
-            new_params = select_tree(stop, params, new_params)
-            new_opt = select_tree(stop, opt_state, new_opt)
-            return (new_params, new_opt, stop), stats
-
-        def epoch_step(carry, ep_key):
-            params, opt_state, stop = carry
-            if config.shuffle_minibatches:
-                idxs = jax.random.permutation(ep_key, S)
-            else:
-                idxs = jnp.arange(S)
-            mb_idxs = idxs.reshape(num_minibatches, seg_rows)
-            (params, opt_state, stop), stats = jax.lax.scan(
-                minibatch_step, (params, opt_state, stop), mb_idxs)
-            last_kl = stats['approx_kl'][-1]
-            if has_target_kl:
-                stop = jnp.logical_or(stop, last_kl > target_kl)
-            return (params, opt_state, stop), stats
-
-        ep_keys = jax.random.split(key, config.update_epochs)
-        (params, opt_state, _), stats = jax.lax.scan(
-            epoch_step, (params, opt_state, jnp.bool_(False)), ep_keys)
-        mean_stats = {k: jnp.mean(v) for k, v in stats.items()}
+        params, opt_state, mean_stats = run_epochs(
+            params, opt_state, seg_batch, key, lr)
 
         y_true = returns.reshape(-1)
         y_pred = batch['value'].reshape(-1)
@@ -380,7 +426,7 @@ def make_update_fn(policy, tx, config, T, total_agents, num_minibatches,
             var_y == 0, jnp.nan, 1 - jnp.var(y_true - y_pred) / var_y)
         return params, opt_state, mean_stats
 
-    return jax.jit(update, donate_argnums=(0, 1))
+    return update
 
 
 @profile_deco
@@ -469,6 +515,66 @@ def train(data):
             data.msg = f'Checkpoint saved at update {data.epoch}'
 
 
+def step(data):
+    """Fused epoch: ONE device dispatch for rollout + GAE + PPO update.
+
+    This is the max-throughput path: metrics stay on device and are only
+    materialized when the dashboard interval fires, so the host never
+    blocks on the accelerator. evaluate()/train() remain for reference
+    API parity and phase-level profiling.
+    """
+    config = data.config
+    lr = config.learning_rate
+    if config.anneal_lr:
+        lr = (1.0 - data.global_step / config.total_timesteps) * lr
+
+    (data.params, data.opt_state, data.carry, stats, info_sums,
+        episode_count) = data.step_fn(data.params, data.opt_state,
+        data.carry, jnp.float32(lr))
+
+    # keep metrics as device arrays; materialize lazily
+    data.pending = (stats, info_sums, episode_count)
+    data.global_step += config.batch_size
+    data.epoch += 1
+    data.last_lr = lr
+
+    done_training = data.global_step >= config.total_timesteps
+    wants_metrics = (data.dashboard is not None or config.verbose
+        or data.wandb is not None)
+    if (data.profile.update(data) or done_training) and wants_metrics:
+        _materialize_metrics(data)
+        if data.dashboard is not None:
+            data.dashboard(data)
+        elif config.verbose:
+            print(f'epoch {data.epoch} step {data.global_step} '
+                f'SPS {data.profile.SPS:.3g} '
+                + ' '.join(f'{k}={v:.3f}' for k, v in data.stats.items()))
+    if data.epoch % config.checkpoint_interval == 0 or done_training:
+        ckpt.save_checkpoint(data)
+        data.msg = f'Checkpoint saved at update {data.epoch}'
+    return data.stats
+
+
+def _materialize_metrics(data):
+    """Pull the most recent device metrics to the host."""
+    if data.pending is None:
+        return
+    stats, info_sums, episode_count = data.pending
+    data.pending = None
+    losses = make_losses()
+    for k in losses:
+        if k in stats:
+            losses[k] = float(stats[k])
+    data.losses = losses
+    info_sums = jax.tree.map(np.asarray, dict(info_sums))
+    valid = info_sums.pop('_valid', None)
+    denom = float(np.sum(valid)) if valid is not None \
+        else float(episode_count)
+    data.stats = {k: float(np.sum(v)) / denom
+        for k, v in info_sums.items() if denom > 0}
+    data.infos = info_sums
+
+
 def close(data):
     data.vecenv.close()
     if data.wandb is not None:
@@ -480,9 +586,15 @@ def close(data):
         data.wandb.finish()
 
 
-def train_loop(data):
-    """Convenience: run evaluate/train until total_timesteps."""
+def train_loop(data, fused=True):
+    """Convenience: run until total_timesteps. fused=True uses the
+    single-dispatch step(); fused=False mirrors the reference
+    evaluate()/train() split (useful for phase profiling)."""
     while data.global_step < data.config.total_timesteps:
-        evaluate(data)
-        train(data)
+        if fused:
+            step(data)
+        else:
+            evaluate(data)
+            train(data)
+    _materialize_metrics(data)
     return data

@@ -1,0 +1,310 @@
+"""PPO trainer for host (CPU) environments feeding the TPU.
+
+This is the bridge-trainer for external envs (Atari, NetHack...) that
+cannot run on-device: workers simulate on the host (vector_host), the
+policy forward and the PPO update run as jitted programs on the TPU.
+Mirrors the reference clean_pufferl.py flow: recv -> forward -> store ->
+send until the Experience buffer fills, then sort by (env_id, step),
+flat GAE (reference-exact kernel), minibatched update.
+
+The on-device trainer (training.ppo) is the fast path for jax-native
+envs; use this one when the env only exists as host code.
+
+Reference citations: Experience (clean_pufferl.py:380-482), evaluate
+(:76-154), train (:157-292).
+"""
+from collections import defaultdict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from pufferlib_tpu.exceptions import APIUsageError
+from pufferlib_tpu.models import RecurrentPolicy, count_params
+from pufferlib_tpu.namespace import namespace
+from pufferlib_tpu.ops import compute_gae_flat
+from pufferlib_tpu.training import checkpoint as ckpt
+from pufferlib_tpu.training.ppo import make_epoch_runner, default_config
+from pufferlib_tpu.training.profile import Profile, make_losses
+from pufferlib_tpu.utils import profile as profile_deco, unroll_nested_dict
+
+
+class Experience:
+    """Flat numpy storage with (env_id, step) sort keys
+    (reference clean_pufferl.py:380-482)."""
+
+    def __init__(self, batch_size, bptt_horizon, minibatch_size, obs_shape,
+            obs_dtype, atn_shape, atn_dtype, lstm_total_agents=0,
+            lstm_layers=1, lstm_hidden=0):
+        if minibatch_size is None:
+            minibatch_size = batch_size
+        self.obs = np.zeros((batch_size, *obs_shape), dtype=obs_dtype)
+        self.actions = np.zeros((batch_size, *atn_shape), dtype=atn_dtype)
+        self.logprobs = np.zeros(batch_size, np.float32)
+        self.rewards = np.zeros(batch_size, np.float32)
+        self.dones = np.zeros(batch_size, np.float32)
+        self.truncateds = np.zeros(batch_size, np.float32)
+        self.values = np.zeros(batch_size, np.float32)
+
+        self.lstm_h = self.lstm_c = None
+        if lstm_hidden:
+            assert lstm_total_agents > 0
+            shape = (lstm_layers, lstm_total_agents, lstm_hidden)
+            self.lstm_h = jnp.zeros(shape, jnp.float32)
+            self.lstm_c = jnp.zeros(shape, jnp.float32)
+
+        num_minibatches = batch_size / minibatch_size
+        self.num_minibatches = int(num_minibatches)
+        if self.num_minibatches != num_minibatches:
+            raise APIUsageError('batch_size must be divisible by '
+                'minibatch_size')
+        minibatch_rows = minibatch_size / bptt_horizon
+        self.minibatch_rows = int(minibatch_rows)
+        if self.minibatch_rows != minibatch_rows:
+            raise APIUsageError('minibatch_size must be divisible by '
+                'bptt_horizon')
+
+        self.batch_size = batch_size
+        self.bptt_horizon = bptt_horizon
+        self.minibatch_size = minibatch_size
+        self.sort_keys = []
+        self.ptr = 0
+        self.step = 0
+
+    @property
+    def full(self):
+        return self.ptr >= self.batch_size
+
+    def store(self, obs, value, action, logprob, reward, done, env_id,
+            mask):
+        ptr = self.ptr
+        indices = np.where(mask)[0][:self.batch_size - ptr]
+        end = ptr + len(indices)
+        self.obs[ptr:end] = obs[indices]
+        self.values[ptr:end] = value[indices]
+        self.actions[ptr:end] = action[indices]
+        self.logprobs[ptr:end] = logprob[indices]
+        self.rewards[ptr:end] = reward[indices]
+        self.dones[ptr:end] = done[indices]
+        self.sort_keys.extend([(env_id[i], self.step) for i in indices])
+        self.ptr = end
+        self.step += 1
+
+    def sort_training_data(self):
+        """Order rows (env, time) and derive per-minibatch index blocks
+        (reference clean_pufferl.py:452-464)."""
+        idxs = np.asarray(sorted(range(len(self.sort_keys)),
+            key=self.sort_keys.__getitem__))
+        self.b_idxs = idxs.reshape(
+            self.minibatch_rows, self.num_minibatches, self.bptt_horizon
+        ).transpose(1, 0, 2)  # (M, rows, h)
+        self.sort_keys = []
+        self.ptr = 0
+        self.step = 0
+        return idxs
+
+
+def create(config, vecenv, policy, wandb=None):
+    """Initialize the host-env trainer (reference clean_pufferl.create)."""
+    vecenv.async_reset(config.seed)
+    obs_space = vecenv.single_observation_space
+    atn_space = vecenv.single_action_space
+    total_agents = vecenv.num_agents
+    recurrent = isinstance(policy, RecurrentPolicy)
+
+    key = jax.random.PRNGKey(config.seed)
+    key, init_key = jax.random.split(key)
+
+    example = jnp.zeros((1, *obs_space.shape),
+        jnp.dtype(np.dtype(obs_space.dtype)))
+    if recurrent:
+        params = policy.init(init_key, example, policy.initial_state(1))
+        lstm_hidden = policy.module.hidden_size
+        lstm_layers = policy.module.num_layers
+    else:
+        params = policy.init(init_key, example)
+        lstm_hidden = lstm_layers = 0
+
+    experience = Experience(config.batch_size, config.bptt_horizon,
+        config.minibatch_size, obs_space.shape, obs_space.dtype,
+        atn_space.shape, np.int32, lstm_total_agents=total_agents,
+        lstm_layers=lstm_layers, lstm_hidden=lstm_hidden)
+
+    tx = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-5)
+    opt_state = tx.init(params)
+
+    seg_rows = config.minibatch_size // config.bptt_horizon
+    S = experience.num_minibatches * seg_rows
+    run_epochs = jax.jit(make_epoch_runner(policy, tx, config, seg_rows,
+        experience.num_minibatches, S), donate_argnums=(0, 1))
+
+    if recurrent:
+        def forward(params, obs, h, c, env_id, key):
+            hs = jnp.take(h, env_id, axis=1)
+            cs = jnp.take(c, env_id, axis=1)
+            action, logprob, _, value, (hs, cs) = policy(
+                params, obs, (hs, cs), key=key)
+            h = h.at[:, env_id].set(hs)
+            c = c.at[:, env_id].set(cs)
+            return action, logprob, value.reshape(-1), h, c
+    else:
+        def forward(params, obs, h, c, env_id, key):
+            action, logprob, _, value = policy(params, obs, key=key)
+            return action, logprob, value.reshape(-1), h, c
+
+    return namespace(
+        config=config,
+        vecenv=vecenv,
+        policy=policy,
+        params=params,
+        opt_state=opt_state,
+        experience=experience,
+        forward_fn=jax.jit(forward),
+        run_epochs=run_epochs,
+        key=key,
+        profile=Profile(),
+        losses=make_losses(),
+        wandb=wandb,
+        global_step=0,
+        epoch=0,
+        stats={},
+        infos={},
+        msg=f'Model Size: {count_params(params)} parameters',
+        last_log_time=0.0,
+        utilization=None,
+        dashboard=None,
+    )
+
+
+@profile_deco
+def evaluate(data):
+    """Async rollout loop: recv -> device forward -> store -> send
+    (reference clean_pufferl.py:76-154)."""
+    config, profile, experience = data.config, data.profile, data.experience
+    infos = defaultdict(list)
+
+    while not experience.full:
+        with profile.env:
+            o, r, d, t, info, env_id, mask = data.vecenv.recv()
+
+        with profile.eval_misc:
+            data.global_step += int(np.sum(mask))
+
+        with profile.eval_forward:
+            data.key, sub = jax.random.split(data.key)
+            actions, logprob, value, experience.lstm_h, \
+                experience.lstm_c = data.forward_fn(
+                    data.params, jnp.asarray(o), experience.lstm_h,
+                    experience.lstm_c, jnp.asarray(env_id), sub)
+            actions = np.asarray(actions)
+
+        with profile.eval_misc:
+            experience.store(np.asarray(o), np.asarray(value), actions,
+                np.asarray(logprob), np.asarray(r),
+                np.asarray(d, np.float32), np.asarray(env_id),
+                np.asarray(mask))
+            for i in info:
+                for k, v in unroll_nested_dict(i):
+                    infos[k].append(v)
+
+        with profile.env:
+            data.vecenv.send(actions)
+
+    with profile.eval_misc:
+        data.stats = {}
+        for k, v in infos.items():
+            try:
+                data.stats[k] = float(np.mean(v))
+            except (TypeError, ValueError):
+                continue
+    return data.stats, infos
+
+
+@profile_deco
+def train(data):
+    """Sort, flat GAE (reference-exact), minibatched PPO on device
+    (reference clean_pufferl.py:157-292)."""
+    config, profile, experience = data.config, data.profile, data.experience
+
+    with profile.train_misc:
+        idxs = experience.sort_training_data()
+        dones_np = experience.dones[idxs]
+        values_np = experience.values[idxs]
+        rewards_np = experience.rewards[idxs]
+        advantages = np.asarray(compute_gae_flat(
+            dones_np, values_np, rewards_np, config.gamma,
+            config.gae_lambda))
+        returns = advantages + values_np
+
+        h = config.bptt_horizon
+        b = experience.b_idxs  # (M, rows, h) indices into unsorted rows
+        M, rows = b.shape[0], b.shape[1]
+        S = M * rows
+        sorted_pos = np.arange(experience.batch_size).reshape(
+            experience.minibatch_rows, M, h).transpose(1, 0, 2)
+
+        def seg(x_sorted):
+            # minibatch-major segments so the epoch runner's contiguous
+            # reshape reproduces exactly these minibatches
+            return x_sorted[sorted_pos.reshape(S, h)]
+
+        seg_batch = dict(
+            obs=experience.obs[idxs][sorted_pos.reshape(S, h)],
+            action=experience.actions[idxs][sorted_pos.reshape(S, h)],
+            logprob=experience.logprobs[idxs][sorted_pos.reshape(S, h)],
+            value=values_np[sorted_pos.reshape(S, h)],
+            advantages=advantages[sorted_pos.reshape(S, h)],
+            returns=returns[sorted_pos.reshape(S, h)],
+        )
+        if experience.lstm_h is not None:
+            layers = experience.lstm_h.shape[0]
+            hidden = experience.lstm_h.shape[2]
+            seg_batch['lstm_h'] = np.zeros((S, layers, hidden), np.float32)
+            seg_batch['lstm_c'] = np.zeros((S, layers, hidden), np.float32)
+
+        lr = config.learning_rate
+        if config.anneal_lr:
+            lr *= 1.0 - data.global_step / config.total_timesteps
+
+    with profile.learn:
+        data.key, update_key = jax.random.split(data.key)
+        seg_batch = jax.tree.map(jnp.asarray, seg_batch)
+        data.params, data.opt_state, stats = data.run_epochs(
+            data.params, data.opt_state, seg_batch, update_key,
+            jnp.float32(lr))
+        jax.block_until_ready(stats['policy_loss'])
+
+    with profile.train_misc:
+        losses = make_losses()
+        for k in losses:
+            if k in stats:
+                losses[k] = float(stats[k])
+        var_y = np.var(returns)
+        losses.explained_variance = float('nan') if var_y == 0 else \
+            1 - float(np.var(returns - values_np)) / var_y
+        data.losses = losses
+        data.epoch += 1
+        data.last_lr = lr
+
+        done_training = data.global_step >= config.total_timesteps
+        if profile.update(data) or done_training:
+            if data.dashboard is not None:
+                data.dashboard(data)
+            elif config.verbose:
+                print(f'epoch {data.epoch} step {data.global_step} '
+                    f'SPS {profile.SPS:.3g} ' + ' '.join(
+                    f'{k}={v:.3f}' for k, v in data.stats.items()))
+        if data.epoch % config.checkpoint_interval == 0 or done_training:
+            ckpt.save_checkpoint(data)
+
+
+def close(data):
+    data.vecenv.close()
+    if data.wandb is not None:
+        model_path = ckpt.save_checkpoint(data)
+        artifact = data.wandb.Artifact(
+            f'{data.config.exp_id}_model', type='model')
+        artifact.add_file(model_path)
+        data.wandb.run.log_artifact(artifact)
+        data.wandb.finish()

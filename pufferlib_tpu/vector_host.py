@@ -1,0 +1,420 @@
+"""Host-side vectorization for external CPU envs (gymnasium/pettingzoo).
+
+Parity: reference pufferlib/vector.py — Serial (:70) and the
+shared-memory Multiprocessing envpool (:218): per-worker RawArray slabs
+for obs/atn/rew/term/trunc/mask, a one-byte semaphore per worker with
+busy-wait, infos over pipes, batched async recv with contiguous worker
+blocks. Same sync + async protocol and flag FSM as the device engine.
+
+This is the bridge that lets Atari/NetHack-class CPU envs feed the TPU
+trainer: workers simulate and write slabs; the driver assembles batches
+and device_puts them.
+"""
+import multiprocessing
+import time
+from multiprocessing import RawArray
+
+# fork-after-jax (the axon TPU client spawns threads) deadlocks; spawn
+# gives workers a clean interpreter. Env creators must be picklable.
+_mp = multiprocessing.get_context('spawn')
+
+import numpy as np
+
+from pufferlib_tpu import spaces
+from pufferlib_tpu.exceptions import APIUsageError
+from pufferlib_tpu.host_env import GymnasiumPufferEnv, PettingZooPufferEnv
+from pufferlib_tpu.namespace import Namespace, namespace
+
+RESET = 0
+STEP = 1
+SEND = 2
+RECV = 3
+CLOSE = 4
+MAIN = 5
+INFO = 6
+
+
+def recv_precheck(vecenv):
+    if vecenv.flag != RECV:
+        raise APIUsageError('Call reset before stepping')
+    vecenv.flag = SEND
+
+
+def send_precheck(vecenv):
+    if vecenv.flag != SEND:
+        raise APIUsageError('Call (async) reset + recv before sending')
+    vecenv.flag = RECV
+
+
+def make_seeds(seed, num_envs):
+    if isinstance(seed, int):
+        return [seed + i for i in range(num_envs)]
+    return list(seed)
+
+
+def joint_space(space, n):
+    if isinstance(space, spaces.Discrete):
+        return spaces.MultiDiscrete([space.n] * n)
+    if isinstance(space, spaces.MultiDiscrete):
+        return spaces.Box(low=0, high=np.repeat(
+            space.nvec[None] - 1, n, axis=0),
+            shape=(n, len(space.nvec)), dtype=space.dtype)
+    if isinstance(space, spaces.Box):
+        return spaces.Box(low=np.repeat(space.low[None], n, axis=0),
+            high=np.repeat(space.high[None], n, axis=0),
+            shape=(n, *space.shape), dtype=space.dtype)
+    raise ValueError(f'Unsupported space: {space}')
+
+
+def _wrap(creator, args, kwargs, buf=None):
+    env = creator(*(args or ()), **(kwargs or {}))
+    if isinstance(env, (GymnasiumPufferEnv, PettingZooPufferEnv)):
+        env.buf = buf
+        return env
+    if hasattr(env, 'possible_agents'):
+        return PettingZooPufferEnv(env=env, buf=buf)
+    return GymnasiumPufferEnv(env=env, buf=buf)
+
+
+class HostSerial:
+    """Python-loop backend over host envs writing one shared buffer
+    (reference vector.py:70-166)."""
+
+    def __init__(self, env_creators, env_args=None, env_kwargs=None,
+            num_envs=1, buf=None, **kwargs):
+        creators = env_creators if isinstance(env_creators, (list, tuple)) \
+            else [env_creators] * num_envs
+        self.envs = [_wrap(creators[i % len(creators)], env_args,
+            env_kwargs) for i in range(num_envs)]
+        driver = self.envs[0]
+        self.driver_env = driver
+        self.emulated = driver.emulated
+        self.agents_per_env = [e.num_agents for e in self.envs]
+        self.agents_per_batch = sum(self.agents_per_env)
+        self.num_agents = self.agents_per_batch
+        self.single_observation_space = driver.single_observation_space \
+            if hasattr(driver, 'single_observation_space') \
+            else driver.observation_space
+        self.single_action_space = driver.single_action_space \
+            if hasattr(driver, 'single_action_space') \
+            else driver.action_space
+        self.observation_space = joint_space(
+            self.single_observation_space, self.agents_per_batch)
+        self.action_space = joint_space(
+            self.single_action_space, self.agents_per_batch)
+        self.agent_ids = np.arange(self.num_agents)
+        self.initialized = False
+        self.flag = RESET
+        self.buf = buf
+
+    def _assign_buffers(self, buf):
+        ptr = 0
+        for i, env in enumerate(self.envs):
+            end = ptr + self.agents_per_env[i]
+            env.buf = namespace(
+                observations=buf.observations[ptr:end],
+                rewards=buf.rewards[ptr:end],
+                terminals=buf.terminals[ptr:end],
+                truncations=buf.truncations[ptr:end],
+                masks=buf.masks[ptr:end])
+            ptr = end
+
+    def async_reset(self, seed=42):
+        self.flag = RECV
+        seeds = make_seeds(seed, len(self.envs))
+        if self.buf is None:
+            obs_space = self.single_observation_space
+            self.buf = namespace(
+                observations=np.zeros(
+                    (self.agents_per_batch, *obs_space.shape),
+                    dtype=obs_space.dtype),
+                rewards=np.zeros(self.agents_per_batch, dtype=np.float32),
+                terminals=np.zeros(self.agents_per_batch, dtype=bool),
+                truncations=np.zeros(self.agents_per_batch, dtype=bool),
+                masks=np.ones(self.agents_per_batch, dtype=bool))
+        self._assign_buffers(self.buf)
+
+        self.infos = []
+        for env, s in zip(self.envs, seeds):
+            _, info = env.reset(seed=s)
+            if info:
+                self.infos.append(info)
+
+    def send(self, actions):
+        send_precheck(self)
+        actions = np.asarray(actions)
+        if not self.initialized:
+            self.initialized = True
+        self.infos = []
+        ptr = 0
+        for idx, env in enumerate(self.envs):
+            end = ptr + self.agents_per_env[idx]
+            atns = actions[ptr:end]
+            if env.done:
+                _, info = env.reset()
+            else:
+                if env.num_agents == 1:
+                    result = env.step(atns[0])
+                else:
+                    result = env.step(atns)
+                info = result[-1]
+            if info:
+                self.infos.append(info)
+            ptr = end
+
+    def recv(self):
+        recv_precheck(self)
+        buf = self.buf
+        return (buf.observations, buf.rewards, buf.terminals,
+            buf.truncations, self.infos, self.agent_ids, buf.masks)
+
+    def reset(self, seed=42):
+        self.async_reset(seed)
+        obs, _, _, _, infos, _, _ = self.recv()
+        return obs, infos
+
+    def step(self, actions):
+        self.send(actions)
+        obs, rew, term, trunc, infos, _, _ = self.recv()
+        return obs, rew, term, trunc, infos
+
+    def close(self):
+        for env in self.envs:
+            env.close()
+
+    @property
+    def num_envs(self):
+        return self.agents_per_batch
+
+
+def _worker_process(env_creators, env_args, env_kwargs, envs_per_worker,
+        obs_shape, obs_dtype, atn_shape, atn_dtype, agents_per_worker,
+        worker_idx, send_pipe, recv_pipe, shm):
+    """Worker: a HostSerial of envs_per_worker envs writing directly into
+    this worker's shared-memory slab; busy-waits its semaphore byte
+    (reference vector.py:168-216)."""
+    sem = np.frombuffer(shm['semaphores'], dtype=np.uint8)[
+        worker_idx:worker_idx + 1]
+    a = agents_per_worker
+    lo, hi = worker_idx * a, (worker_idx + 1) * a
+    obs_numel = int(np.prod(obs_shape))
+    atn_numel = int(np.prod(atn_shape)) if atn_shape else 1
+    buf = namespace(
+        observations=np.frombuffer(shm['observations'],
+            dtype=obs_dtype)[lo * obs_numel:hi * obs_numel].reshape(
+            a, *obs_shape),
+        rewards=np.frombuffer(shm['rewards'], dtype=np.float32)[lo:hi],
+        terminals=np.frombuffer(shm['terminals'], dtype=bool)[lo:hi],
+        truncations=np.frombuffer(shm['truncations'], dtype=bool)[lo:hi],
+        masks=np.frombuffer(shm['masks'], dtype=bool)[lo:hi])
+    atn_arr = np.frombuffer(shm['actions'], dtype=atn_dtype)[
+        lo * atn_numel:hi * atn_numel].reshape(a, *atn_shape) \
+        if atn_shape else np.frombuffer(shm['actions'],
+            dtype=atn_dtype)[lo:hi]
+
+    envs = HostSerial(env_creators, env_args, env_kwargs,
+        num_envs=envs_per_worker, buf=buf)
+
+    start = time.time()
+    while True:
+        flag = sem[0]
+        if flag == RESET:
+            seeds = recv_pipe.recv()
+            envs.async_reset(seeds)
+            infos = envs.infos
+            sem[0] = MAIN
+            if infos:
+                send_pipe.send(infos)
+                sem[0] = INFO
+            start = time.time()
+        elif flag == STEP:
+            envs.flag = SEND  # worker drives the FSM: recv is implicit
+            envs.send(atn_arr.copy())
+            infos = envs.infos
+            sem[0] = MAIN
+            if infos:
+                send_pipe.send(infos)
+                sem[0] = INFO
+            start = time.time()
+        elif flag == CLOSE:
+            envs.close()
+            sem[0] = MAIN
+            return
+        elif time.time() - start > 0.5:
+            time.sleep(0.01)
+
+
+class HostMultiprocessing:
+    """Shared-memory envpool: workers write slabs, driver batches the
+    first-ready (or contiguous) worker blocks (reference
+    vector.py:218-447)."""
+
+    def __init__(self, env_creators, env_args=None, env_kwargs=None,
+            num_envs=1, num_workers=None, batch_size=None, **kwargs):
+        num_workers = num_workers or num_envs
+        if num_envs % num_workers != 0:
+            raise APIUsageError('num_envs must be divisible by num_workers')
+        envs_per_worker = num_envs // num_workers
+
+        # driver env: spaces/metadata only
+        driver = _wrap(env_creators if not isinstance(
+            env_creators, (list, tuple)) else env_creators[0],
+            env_args, env_kwargs)
+        self.driver_env = driver
+        self.emulated = driver.emulated
+        agents_per_env = driver.num_agents
+        agents_per_worker = agents_per_env * envs_per_worker
+        self.num_agents = num_envs * agents_per_env
+        self.single_observation_space = driver.single_observation_space
+        self.single_action_space = driver.single_action_space
+        driver.close()
+
+        batch_size = batch_size or num_envs
+        if num_envs % batch_size != 0:
+            raise APIUsageError('num_envs must be divisible by batch_size')
+        self.batch_size = batch_size
+        self.workers_per_batch = batch_size // envs_per_worker
+        if self.workers_per_batch < 1:
+            raise APIUsageError('batch_size must be >= envs_per_worker')
+        self.agents_per_batch = self.workers_per_batch * agents_per_worker
+        self.agents_per_worker = agents_per_worker
+        self.num_workers = num_workers
+        self.envs_per_worker = envs_per_worker
+
+        obs_space = self.single_observation_space
+        atn_space = self.single_action_space
+        obs_shape = obs_space.shape
+        atn_shape = atn_space.shape
+        obs_ct = int(np.prod(obs_shape)) * self.num_agents
+        atn_ct = self.num_agents * (int(np.prod(atn_shape))
+            if atn_shape else 1)
+        self.shm = dict(
+            observations=RawArray(
+                np.ctypeslib.as_ctypes_type(np.dtype(obs_space.dtype)),
+                obs_ct),
+            actions=RawArray(np.ctypeslib.as_ctypes_type(
+                np.dtype(atn_space.dtype)), atn_ct),
+            rewards=RawArray('f', self.num_agents),
+            terminals=RawArray('b', self.num_agents),
+            truncations=RawArray('b', self.num_agents),
+            masks=RawArray('b', self.num_agents),
+            semaphores=RawArray('B', num_workers),
+        )
+        self.obs_arr = np.frombuffer(self.shm['observations'],
+            dtype=obs_space.dtype).reshape(self.num_agents, *obs_shape)
+        self.atn_arr = np.frombuffer(self.shm['actions'],
+            dtype=atn_space.dtype).reshape(self.num_agents, *atn_shape) \
+            if atn_shape else np.frombuffer(self.shm['actions'],
+            dtype=atn_space.dtype)
+        self.rew_arr = np.frombuffer(self.shm['rewards'], dtype=np.float32)
+        self.term_arr = np.frombuffer(self.shm['terminals'], dtype=bool)
+        self.trunc_arr = np.frombuffer(self.shm['truncations'], dtype=bool)
+        self.mask_arr = np.frombuffer(self.shm['masks'], dtype=bool)
+        self.sem = np.frombuffer(self.shm['semaphores'], dtype=np.uint8)
+        self.sem[:] = MAIN
+
+        self.processes = []
+        self.send_pipes = []
+        self.recv_pipes = []
+        for i in range(num_workers):
+            main_send, worker_recv = _mp.Pipe()
+            worker_send, main_recv = _mp.Pipe()
+            p = _mp.Process(target=_worker_process, args=(
+                env_creators, env_args, env_kwargs, envs_per_worker,
+                obs_shape, np.dtype(obs_space.dtype), atn_shape,
+                np.dtype(atn_space.dtype), agents_per_worker, i,
+                worker_send, worker_recv, self.shm), daemon=True)
+            p.start()
+            self.processes.append(p)
+            self.send_pipes.append(main_send)
+            self.recv_pipes.append(main_recv)
+
+        self.agent_ids = np.arange(self.num_agents).reshape(
+            num_workers, agents_per_worker)
+        self.initialized = False
+        self.flag = RESET
+        self.prev_workers = ()
+
+    def async_reset(self, seed=42):
+        self.flag = RECV
+        seeds = make_seeds(seed, self.num_workers * self.envs_per_worker)
+        for i in range(self.num_workers):
+            lo = i * self.envs_per_worker
+            self.send_pipes[i].send(seeds[lo:lo + self.envs_per_worker])
+            self.sem[i] = RESET
+
+    def _drain_infos(self, workers):
+        infos = []
+        for w in workers:
+            if self.sem[w] == INFO:
+                infos.extend(self.recv_pipes[w].recv())
+                self.sem[w] = MAIN
+        return infos
+
+    def recv(self):
+        recv_precheck(self)
+        # wait for the first workers_per_batch ready workers
+        ready = []
+        last_alive_check = time.time()
+        while len(ready) < self.workers_per_batch:
+            for w in range(self.num_workers):
+                if w in ready:
+                    continue
+                if self.sem[w] in (MAIN, INFO):
+                    ready.append(w)
+                    if len(ready) == self.workers_per_batch:
+                        break
+            if time.time() - last_alive_check > 1.0:
+                last_alive_check = time.time()
+                for p in self.processes:
+                    if not p.is_alive():
+                        raise RuntimeError(
+                            'env worker died (creator must be a picklable '
+                            'module-level callable under spawn)')
+        infos = self._drain_infos(ready)
+        self.prev_workers = tuple(ready)
+        idx = self.agent_ids[list(ready)].ravel()
+        return (self.obs_arr[idx], self.rew_arr[idx], self.term_arr[idx],
+            self.trunc_arr[idx], infos, idx, self.mask_arr[idx])
+
+    def send(self, actions):
+        send_precheck(self)
+        actions = np.asarray(actions)
+        idx = self.agent_ids[list(self.prev_workers)].ravel()
+        self.atn_arr[idx] = actions.reshape(
+            (len(idx),) + self.atn_arr.shape[1:])
+        for w in self.prev_workers:
+            self.sem[w] = STEP
+
+    def reset(self, seed=42):
+        self.async_reset(seed)
+        obs, _, _, _, infos, _, _ = self.recv()
+        return obs, infos
+
+    def step(self, actions):
+        self.send(actions)
+        obs, rew, term, trunc, infos, _, _ = self.recv()
+        return obs, rew, term, trunc, infos
+
+    def close(self):
+        for p in self.processes:
+            p.terminate()
+
+    @property
+    def num_envs(self):
+        return self.agents_per_batch
+
+
+def make(env_creator, env_args=None, env_kwargs=None, backend=HostSerial,
+        num_envs=1, num_workers=None, batch_size=None, seed=42, **kwargs):
+    """Host vectorization factory (reference vector.py:577-637)."""
+    if num_envs < 1:
+        raise APIUsageError('num_envs must be at least 1')
+    if batch_size is not None and num_envs % batch_size != 0:
+        raise APIUsageError('num_envs must be divisible by batch_size')
+    if backend is HostMultiprocessing:
+        return HostMultiprocessing(env_creator, env_args, env_kwargs,
+            num_envs=num_envs, num_workers=num_workers,
+            batch_size=batch_size, **kwargs)
+    return HostSerial(env_creator, env_args, env_kwargs,
+        num_envs=num_envs, **kwargs)

@@ -1,0 +1,127 @@
+"""Host-env bridge: gymnasium wrapping + host vectorization backends
+(reference tests/test.py emulation round-trips + vector equivalence)."""
+import numpy as np
+import pytest
+
+gymnasium = pytest.importorskip('gymnasium')
+
+from pufferlib_tpu import spaces
+from pufferlib_tpu.exceptions import APIUsageError
+from pufferlib_tpu.host_env import GymnasiumPufferEnv, PettingZooPufferEnv
+from pufferlib_tpu import vector_host
+
+
+def make_cartpole():
+    return gymnasium.make('CartPole-v1')
+
+
+class DictObsEnv(gymnasium.Env):
+    """Mixed-dtype Dict obs + Dict action test env."""
+
+    def __init__(self):
+        self.observation_space = gymnasium.spaces.Dict({
+            'image': gymnasium.spaces.Box(0, 255, (4, 4), np.uint8),
+            'flat': gymnasium.spaces.Box(-1, 1, (3,), np.float32),
+        })
+        self.action_space = gymnasium.spaces.Dict({
+            'a': gymnasium.spaces.Discrete(2),
+            'b': gymnasium.spaces.Discrete(3),
+        })
+        self.tick = 0
+
+    def reset(self, seed=None, options=None):
+        self.tick = 0
+        self.rng = np.random.RandomState(seed or 0)
+        return self._obs(), {}
+
+    def _obs(self):
+        return {
+            'image': self.rng.randint(0, 255, (4, 4)).astype(np.uint8),
+            'flat': self.rng.uniform(-1, 1, 3).astype(np.float32),
+        }
+
+    def step(self, action):
+        assert isinstance(action, dict) and set(action) == {'a', 'b'}
+        self.tick += 1
+        return self._obs(), 1.0, self.tick >= 3, False, {}
+
+
+def test_gymnasium_wrapper_box_passthrough():
+    env = GymnasiumPufferEnv(env=make_cartpole())
+    obs, info = env.reset(seed=0)
+    assert obs.shape == (4,)
+    obs, rew, done, trunc, info = env.step(np.array([1]))
+    assert obs.shape == (4,)
+
+
+def test_gymnasium_wrapper_errors():
+    env = GymnasiumPufferEnv(env=make_cartpole())
+    with pytest.raises(APIUsageError):
+        env.step(np.array([0]))  # step before reset
+    env.reset(seed=0)
+    done = False
+    while not done:
+        _, _, d, t, _ = env.step(np.array([0]))
+        done = d or t
+    with pytest.raises(APIUsageError):
+        env.step(np.array([0]))  # step after done
+
+
+def test_gymnasium_wrapper_dict_roundtrip():
+    env = GymnasiumPufferEnv(env=DictObsEnv())
+    obs, _ = env.reset(seed=1)
+    assert obs.dtype == np.uint8  # mixed dtypes -> bytes
+    assert isinstance(env.action_space, spaces.MultiDiscrete)
+    # MultiDiscrete action nativizes back into the Dict action
+    obs, rew, done, trunc, info = env.step(np.array([1, 2]))
+    assert rew == 1.0
+
+
+def test_host_serial_cartpole():
+    vec = vector_host.make(make_cartpole, backend=vector_host.HostSerial,
+        num_envs=4)
+    obs, infos = vec.reset(seed=0)
+    assert obs.shape == (4, 4)
+    for _ in range(8):
+        obs, rew, term, trunc, infos = vec.step(
+            np.random.randint(0, 2, (4, 1)))
+        assert obs.shape == (4, 4)
+    vec.close()
+
+
+def test_host_serial_autoreset():
+    vec = vector_host.make(DictObsEnv,
+        backend=vector_host.HostSerial, num_envs=2)
+    vec.reset(seed=0)
+    rews = []
+    for _ in range(8):
+        obs, rew, term, trunc, infos = vec.step(
+            np.zeros((2, 2), np.int64))
+        rews.append(rew.copy())
+    # episodes are 3 steps; the reset step must report reward 0
+    rews = np.stack(rews)
+    assert (rews == 0).any() and (rews == 1).any()
+    vec.close()
+
+
+@pytest.mark.slow
+def test_host_multiprocessing_matches_serial():
+    """MP envpool returns the same data as Serial for deterministic
+    envs (reference tests/test.py:104-160 contract)."""
+    ser = vector_host.make(DictObsEnv,
+        backend=vector_host.HostSerial, num_envs=2)
+    mp = vector_host.make(DictObsEnv,
+        backend=vector_host.HostMultiprocessing, num_envs=2,
+        num_workers=2)
+    obs_s, _ = ser.reset(seed=0)
+    obs_m, _ = mp.reset(seed=0)
+    assert np.array_equal(obs_s, obs_m)
+    for _ in range(5):
+        actions = np.zeros((2, 2), np.int64)
+        os_, rs, ts, us, _ = ser.step(actions)
+        om, rm, tm, um, _ = mp.step(actions)
+        assert np.array_equal(os_, om)
+        assert np.array_equal(rs, rm)
+        assert np.array_equal(ts, tm)
+    ser.close()
+    mp.close()

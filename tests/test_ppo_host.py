@@ -1,0 +1,71 @@
+"""Host-env trainer: CartPole via the host bridge, policy/update on the
+accelerator (reference clean_pufferl end-to-end flow)."""
+import numpy as np
+import pytest
+
+gymnasium = pytest.importorskip('gymnasium')
+
+from pufferlib_tpu import vector_host
+from pufferlib_tpu.models import Default, LSTMWrapper, Policy, RecurrentPolicy
+from pufferlib_tpu.training import ppo, ppo_host
+
+
+def make_cartpole():
+    return gymnasium.make('CartPole-v1')
+
+
+def make_data(recurrent=False, **cfg):
+    vecenv = vector_host.make(make_cartpole,
+        backend=vector_host.HostSerial, num_envs=8)
+    obs_shape = vecenv.single_observation_space.shape
+    atn_space = vecenv.single_action_space
+    if recurrent:
+        module = LSTMWrapper(
+            policy=Default(obs_shape=obs_shape, action_space=atn_space,
+                hidden_size=32),
+            obs_shape=obs_shape, input_size=32, hidden_size=32)
+        policy = RecurrentPolicy(module)
+    else:
+        policy = Policy(Default(obs_shape=obs_shape,
+            action_space=atn_space, hidden_size=32))
+    config = ppo.default_config(env='cartpole', batch_size=512,
+        minibatch_size=128, bptt_horizon=8, total_timesteps=1024,
+        verbose=False, data_dir='/tmp/puffer_host_test', **cfg)
+    return ppo_host.create(config, vecenv, policy)
+
+
+def test_host_trainer_smoke():
+    data = make_data()
+    stats, infos = ppo_host.evaluate(data)
+    assert data.experience.full
+    ppo_host.train(data)
+    for k in ['policy_loss', 'value_loss', 'entropy', 'approx_kl']:
+        assert np.isfinite(data.losses[k]), k
+    # another cycle reuses buffers
+    ppo_host.evaluate(data)
+    ppo_host.train(data)
+    assert data.epoch == 2
+    ppo_host.close(data)
+
+
+def test_host_trainer_lstm():
+    data = make_data(recurrent=True)
+    ppo_host.evaluate(data)
+    ppo_host.train(data)
+    assert np.isfinite(data.losses.policy_loss)
+    assert data.experience.lstm_h.shape == (1, 8, 32)
+    ppo_host.close(data)
+
+
+@pytest.mark.slow
+def test_host_trainer_learns_cartpole():
+    data = make_data(total_timesteps=512 * 30, batch_size=512,
+        learning_rate=5e-3)
+    lengths = []
+    while data.global_step < data.config.total_timesteps:
+        stats, infos = ppo_host.evaluate(data)
+        ppo_host.train(data)
+        # mean episode length proxy: fraction of non-terminal steps
+        lengths.append(1.0 - data.experience.dones.mean())
+    assert np.mean(lengths[-5:]) > np.mean(lengths[:5])
+    ppo_host.close(data)
