@@ -58,16 +58,17 @@ def main():
     )
     data = ppo.create(config, vecenv, policy)
 
-    # warmup: compile the fused program
-    ppo.step(data)
-    ppo.step(data)
+    # warmup: compile the multi-epoch fused program
+    chunk = int(os.environ.get('BENCH_CHUNK', 5))
+    ppo.step_many(data, chunk)
     jax.block_until_ready(data.carry['obs'])
 
     start = time.perf_counter()
-    for _ in range(epochs):
-        ppo.step(data)
+    for _ in range(max(epochs // chunk, 1)):
+        ppo.step_many(data, chunk)
     jax.block_until_ready(data.carry['obs'])
     elapsed = time.perf_counter() - start
+    epochs = max(epochs // chunk, 1) * chunk
 
     sps = epochs * batch_size / elapsed
     print(json.dumps({

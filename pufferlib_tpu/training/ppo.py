@@ -141,6 +141,10 @@ def create(config, vecenv, policy, wandb=None, mesh=None):
     tx = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-5)
     opt_state = tx.init(params)
 
+    if mesh is not None and config.get('pallas_gae') is None:
+        # GSPMD cannot auto-partition a pallas_call; the scan GAE shards
+        config['pallas_gae'] = False
+
     rollout_raw = make_rollout_fn(policy, step_batch, config, T)
     update_raw = make_update_fn(policy, tx, config, T, total_agents,
         num_minibatches, seg_rows)
@@ -166,10 +170,28 @@ def create(config, vecenv, policy, wandb=None, mesh=None):
             params, opt_state, batch, update_key, lr)
         return params, opt_state, carry, stats, info_sums, episode_count
 
+    def multi_step_raw(params, opt_state, carry, lrs):
+        """K fused epochs in ONE dispatch (lax.scan over step_raw) — for
+        high dispatch-latency links (remote TPU) this amortizes the
+        round trip to nothing. lrs: (K,) per-epoch learning rates."""
+        def body(c, lr):
+            params, opt_state, carry = c
+            (params, opt_state, carry, stats, info_sums,
+                episode_count) = step_raw(params, opt_state, carry, lr)
+            return (params, opt_state, carry), (
+                stats, info_sums, episode_count)
+
+        (params, opt_state, carry), (stats, info_sums, counts) = \
+            jax.lax.scan(body, (params, opt_state, carry), lrs)
+        stats = jax.tree.map(lambda x: x[-1], stats)
+        info_sums = jax.tree.map(lambda x: jnp.sum(x, axis=0), info_sums)
+        return params, opt_state, carry, stats, info_sums, jnp.sum(counts)
+
     if mesh is None:
         rollout_fn = jax.jit(rollout_raw, donate_argnums=(1,))
         update_fn = jax.jit(update_raw, donate_argnums=(0, 1))
         step_fn = jax.jit(step_raw, donate_argnums=(0, 1, 2))
+        multi_step_fn = jax.jit(multi_step_raw, donate_argnums=(0, 1, 2))
     else:
         from pufferlib_tpu.parallel import (
             carry_shardings, batch_shardings, replicated)
@@ -190,6 +212,10 @@ def create(config, vecenv, policy, wandb=None, mesh=None):
             in_shardings=(repl, repl, c_shard, repl),
             out_shardings=(repl, repl, c_shard, repl, repl, repl),
             donate_argnums=(0, 1, 2))
+        multi_step_fn = jax.jit(multi_step_raw,
+            in_shardings=(repl, repl, c_shard, repl),
+            out_shardings=(repl, repl, c_shard, repl, repl, repl),
+            donate_argnums=(0, 1, 2))
         # place state per the shardings
         params = jax.device_put(params, repl)
         opt_state = jax.device_put(opt_state, repl)
@@ -206,6 +232,7 @@ def create(config, vecenv, policy, wandb=None, mesh=None):
         rollout_fn=rollout_fn,
         update_fn=update_fn,
         step_fn=step_fn,
+        multi_step_fn=multi_step_fn,
         pending=None,
         batch=None,
         profile=Profile(),
@@ -398,10 +425,20 @@ def make_update_fn(policy, tx, config, T, total_agents, num_minibatches,
         x = jnp.moveaxis(x, 2, 0)  # (N, n_seg, layers, H)
         return x.reshape((S,) + x.shape[2:])
 
+    use_pallas_gae = config.get('pallas_gae', None)
+    if use_pallas_gae is None:
+        use_pallas_gae = jax.devices()[0].platform == 'tpu'
+
     def update(params, opt_state, batch, key, lr):
-        advantages = compute_gae(batch['reward'], batch['value'],
-            batch['done'], batch['last_value'], config.gamma,
-            config.gae_lambda)
+        if use_pallas_gae:
+            from pufferlib_tpu.ops.pallas import compute_gae_pallas
+            advantages = compute_gae_pallas(batch['reward'],
+                batch['value'], batch['done'], batch['last_value'],
+                config.gamma, config.gae_lambda)
+        else:
+            advantages = compute_gae(batch['reward'], batch['value'],
+                batch['done'], batch['last_value'], config.gamma,
+                config.gae_lambda)
         returns = advantages + batch['value']
 
         seg_batch = dict(
@@ -552,6 +589,45 @@ def step(data):
     if data.epoch % config.checkpoint_interval == 0 or done_training:
         ckpt.save_checkpoint(data)
         data.msg = f'Checkpoint saved at update {data.epoch}'
+    return data.stats
+
+
+def step_many(data, epochs):
+    """Run `epochs` fused epochs in a single device dispatch. Same
+    semantics as calling step() `epochs` times, minus the per-epoch
+    dispatch latency; dashboard/wandb fire once at the end."""
+    config = data.config
+    lrs = []
+    for e in range(epochs):
+        lr = config.learning_rate
+        if config.anneal_lr:
+            frac = 1.0 - (data.global_step
+                + e * config.batch_size) / config.total_timesteps
+            lr = frac * config.learning_rate
+        lrs.append(lr)
+    lrs = jnp.asarray(lrs, jnp.float32)
+
+    (data.params, data.opt_state, data.carry, stats, info_sums,
+        episode_count) = data.multi_step_fn(data.params, data.opt_state,
+        data.carry, lrs)
+    data.pending = (stats, info_sums, episode_count)
+    data.global_step += epochs * config.batch_size
+    data.epoch += epochs
+    data.last_lr = float(lrs[-1])
+
+    done_training = data.global_step >= config.total_timesteps
+    wants_metrics = (data.dashboard is not None or config.verbose
+        or data.wandb is not None)
+    if (data.profile.update(data) or done_training) and wants_metrics:
+        _materialize_metrics(data)
+        if data.dashboard is not None:
+            data.dashboard(data)
+        elif config.verbose:
+            print(f'epoch {data.epoch} step {data.global_step} '
+                f'SPS {data.profile.SPS:.3g} '
+                + ' '.join(f'{k}={v:.3f}' for k, v in data.stats.items()))
+    if done_training or data.epoch % config.checkpoint_interval < epochs:
+        ckpt.save_checkpoint(data)
     return data.stats
 
 

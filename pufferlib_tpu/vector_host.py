@@ -335,6 +335,19 @@ class HostMultiprocessing:
         self.flag = RESET
         self.prev_workers = ()
 
+        # native driver core (C++ spin + slab gather); Python fallback
+        from pufferlib_tpu import native
+        self._lib = native.load()
+        self._native = native
+        if self._lib is not None:
+            B = self.agents_per_batch
+            self._obs_batch = np.empty((B, *obs_shape),
+                dtype=obs_space.dtype)
+            self._rew_batch = np.empty(B, np.float32)
+            self._term_batch = np.empty(B, bool)
+            self._trunc_batch = np.empty(B, bool)
+            self._mask_batch = np.empty(B, bool)
+
     def async_reset(self, seed=42):
         self.flag = RECV
         seeds = make_seeds(seed, self.num_workers * self.envs_per_worker)
@@ -351,9 +364,7 @@ class HostMultiprocessing:
                 self.sem[w] = MAIN
         return infos
 
-    def recv(self):
-        recv_precheck(self)
-        # wait for the first workers_per_batch ready workers
+    def _wait_ready_python(self):
         ready = []
         last_alive_check = time.time()
         while len(ready) < self.workers_per_batch:
@@ -366,14 +377,60 @@ class HostMultiprocessing:
                         break
             if time.time() - last_alive_check > 1.0:
                 last_alive_check = time.time()
-                for p in self.processes:
-                    if not p.is_alive():
-                        raise RuntimeError(
-                            'env worker died (creator must be a picklable '
-                            'module-level callable under spawn)')
+                self._check_alive()
+        return ready
+
+    def _check_alive(self):
+        for p in self.processes:
+            if not p.is_alive():
+                raise RuntimeError(
+                    'env worker died (creator must be a picklable '
+                    'module-level callable under spawn)')
+
+    def recv(self):
+        recv_precheck(self)
+        if self._lib is not None:
+            # C++ spin (GIL released) with a 30 s watchdog
+            try:
+                ready = self._native.wait_ready(self._lib, self.sem,
+                    np.arange(self.num_workers, dtype=np.int32),
+                    self.workers_per_batch, timeout_us=30_000_000)
+            except TimeoutError:
+                self._check_alive()
+                raise
+            ready = ready.tolist()
+        else:
+            ready = self._wait_ready_python()
+
+        if self.workers_per_batch == self.num_workers:
+            # full-sync mode returns worker order (reference
+            # vector.py:352-361); async modes keep completion order
+            ready = sorted(ready)
+
         infos = self._drain_infos(ready)
         self.prev_workers = tuple(ready)
         idx = self.agent_ids[list(ready)].ravel()
+
+        if self._lib is not None:
+            # one-pass slab -> batch gather per array (C++ memcpy)
+            apw = self.agents_per_worker
+            blocks = np.asarray(ready, np.int64)
+            g = self._native
+            obs_row = self.obs_arr.dtype.itemsize * int(
+                np.prod(self.obs_arr.shape[1:]))
+            g.gather_rows(self._lib, self.obs_arr, self._obs_batch,
+                blocks, obs_row * apw)
+            g.gather_rows(self._lib, self.rew_arr, self._rew_batch,
+                blocks, 4 * apw)
+            g.gather_rows(self._lib, self.term_arr, self._term_batch,
+                blocks, apw)
+            g.gather_rows(self._lib, self.trunc_arr, self._trunc_batch,
+                blocks, apw)
+            g.gather_rows(self._lib, self.mask_arr, self._mask_batch,
+                blocks, apw)
+            return (self._obs_batch, self._rew_batch, self._term_batch,
+                self._trunc_batch, infos, idx, self._mask_batch)
+
         return (self.obs_arr[idx], self.rew_arr[idx], self.term_arr[idx],
             self.trunc_arr[idx], infos, idx, self.mask_arr[idx])
 

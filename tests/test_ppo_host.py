@@ -28,8 +28,10 @@ def make_data(recurrent=False, **cfg):
     else:
         policy = Policy(Default(obs_shape=obs_shape,
             action_space=atn_space, hidden_size=32))
-    config = ppo.default_config(env='cartpole', batch_size=512,
-        minibatch_size=128, bptt_horizon=8, total_timesteps=1024,
+    cfg.setdefault('total_timesteps', 1024)
+    cfg.setdefault('batch_size', 512)
+    config = ppo.default_config(env='cartpole',
+        minibatch_size=128, bptt_horizon=8,
         verbose=False, data_dir='/tmp/puffer_host_test', **cfg)
     return ppo_host.create(config, vecenv, policy)
 
