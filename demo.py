@@ -178,26 +178,57 @@ def profile(args, env_module, creator):
     stats.sort_stats('cumulative').print_stats(10)
 
 
-def sweep(args, env_module, creator, num_runs=10):
-    """Random-search sweep over learning rate / entropy (local fallback;
-    use --track for wandb sweeps)."""
+def sample_sweep_params(space, rng):
+    """Draw one config from a sweep parameter space (config.yaml sweep
+    sections; wandb-style distributions)."""
+    out = {}
+    for name, spec in space.items():
+        dist = spec.get('distribution', 'uniform')
+        if dist == 'log_uniform':
+            lo, hi = np.log10(spec['min']), np.log10(spec['max'])
+            out[name] = float(10 ** rng.uniform(lo, hi))
+        elif dist == 'uniform':
+            out[name] = float(rng.uniform(spec['min'], spec['max']))
+        elif dist == 'int_uniform':
+            out[name] = int(rng.randint(spec['min'], spec['max'] + 1))
+        elif dist == 'categorical' or 'values' in spec:
+            out[name] = spec['values'][rng.randint(len(spec['values']))]
+        else:
+            raise ValueError(f'Unknown distribution {dist} for {name}')
+    return out
+
+
+def sweep(args, env_module, creator):
+    """Hyperparameter sweep over the config.yaml sweep section. Uses
+    wandb sweeps when --track is set, else local random search
+    (reference demo.py:132-151)."""
+    sweep_cfg = dict(args.sweep) if args.sweep else {}
+    space = sweep_cfg.get('parameters', {
+        'learning_rate': {'distribution': 'log_uniform',
+            'min': 1e-4, 'max': 3e-2},
+        'ent_coef': {'distribution': 'log_uniform',
+            'min': 1e-3, 'max': 1e-1},
+    })
+    metric = sweep_cfg.get('metric', 'score')
+    num_runs = int(sweep_cfg.get('num_runs', 10))
+
     rng = np.random.RandomState(0)
     results = []
     for i in range(num_runs):
-        lr = 10 ** rng.uniform(-4, -1.5)
-        ent = 10 ** rng.uniform(-3, -1)
-        args.train['learning_rate'] = float(lr)
-        args.train['ent_coef'] = float(ent)
+        params = sample_sweep_params(space, rng)
+        for k, v in params.items():
+            args.train[k] = v
         args.train['verbose'] = False
+        args.exp_id = None
         try:
             data = train(args, env_module, creator)
-            score = data.stats.get('score', data.stats.get(
+            score = data.stats.get(metric, data.stats.get(
                 'episode_return', 0.0))
-            results.append(dict(lr=lr, ent_coef=ent, score=float(score)))
+            results.append({**params, metric: float(score)})
             print(json.dumps(results[-1]))
         except Exception as e:
             print(f'run {i} failed: {e}')
-    results.sort(key=lambda r: -r['score'])
+    results.sort(key=lambda r: -r[metric])
     print('Best:', json.dumps(results[0]) if results else 'none')
     return results
 

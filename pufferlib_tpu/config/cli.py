@@ -116,6 +116,7 @@ def load_config(env_name=None, argv=None, config_path=None):
     out = namespace(
         env=args.env,
         env_name=creator_name,
+        sweep=cfg.get('sweep', {}),
         mode=parsed['mode'],
         vec=parsed['vec'],
         exp_id=parsed['exp_id'],

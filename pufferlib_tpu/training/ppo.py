@@ -473,6 +473,11 @@ def evaluate(data):
     config, profile = data.config, data.profile
 
     with profile.eval_forward:
+        # same PRNG discipline as the fused step: one split per epoch,
+        # rollout gets the chain, update gets the branch
+        key, update_key = jax.random.split(data.carry['key'])
+        data.carry['key'] = key
+        data._update_key = update_key
         data.carry, batch, info_sums, episode_count = data.rollout_fn(
             data.params, data.carry)
         jax.block_until_ready(batch['reward'])
@@ -508,7 +513,11 @@ def train(data):
         if config.anneal_lr:
             frac = 1.0 - data.global_step / config.total_timesteps
             lr = frac * config.learning_rate
-        data.carry['key'], update_key = jax.random.split(data.carry['key'])
+        update_key = data.get('_update_key')
+        if update_key is None:
+            data.carry['key'], update_key = jax.random.split(
+                data.carry['key'])
+        data._update_key = None
         data.params, data.opt_state, stats = data.update_fn(
             data.params, data.opt_state, data.batch, update_key,
             jnp.float32(lr))

@@ -1,0 +1,80 @@
+"""Extra trainer contracts: multiagent envs, fused step/step_many parity,
+target_kl early stop, loss metric names (reference clean_pufferl
+make_losses :369-378)."""
+import numpy as np
+import jax
+import pytest
+
+import pufferlib_tpu.vector as vector
+from pufferlib_tpu.models import Default, Policy
+from pufferlib_tpu.ocean import env_creator
+from pufferlib_tpu.training import ppo
+
+
+def make_data(env_name='squared', num_envs=16, **cfg):
+    creator = env_creator(env_name)
+    vecenv = vector.make(creator, backend=vector.Device, num_envs=num_envs)
+    policy = Policy(Default(obs_shape=vecenv.single_observation_space.shape,
+        action_space=vecenv.single_action_space, hidden_size=32))
+    cfg.setdefault('batch_size', 512 * (2 if env_name == 'multiagent'
+        else 1))
+    cfg.setdefault('minibatch_size', cfg['batch_size'] // 2)
+    config = ppo.default_config(env=env_name, bptt_horizon=8,
+        total_timesteps=10 ** 9, verbose=False,
+        data_dir='/tmp/puffer_extra_test', **cfg)
+    return ppo.create(config, vecenv, policy)
+
+
+def test_multiagent_fused_trainer():
+    data = make_data('multiagent')
+    ppo.evaluate(data)
+    ppo.train(data)
+    assert np.isfinite(data.losses.policy_loss)
+    # both agents' rewards flow: multiagent gives 0/1 per agent
+    assert 'score' in data.stats
+
+
+def test_fused_step_matches_split_path():
+    d1 = make_data(seed=3, exp_id='fused')
+    d2 = make_data(seed=3, exp_id='split')
+    ppo.step(d1)
+    ppo.evaluate(d2)
+    ppo.train(d2)
+    for a, b in zip(jax.tree.leaves(d1.params), jax.tree.leaves(d2.params)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_step_many_matches_repeated_step():
+    d1 = make_data(seed=4, exp_id='many', anneal_lr=False)
+    d2 = make_data(seed=4, exp_id='single', anneal_lr=False)
+    ppo.step_many(d1, 3)
+    for _ in range(3):
+        ppo.step(d2)
+    assert d1.epoch == d2.epoch == 3
+    assert d1.global_step == d2.global_step
+    for a, b in zip(jax.tree.leaves(d1.params), jax.tree.leaves(d2.params)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_target_kl_freezes_params():
+    """target_kl = 0 stops all updates after the first minibatch of the
+    first epoch (the stop flag masks everything downstream)."""
+    d_stop = make_data(seed=5, exp_id='kl0', target_kl=0.0,
+        update_epochs=4)
+    d_free = make_data(seed=5, exp_id='klfree', target_kl=None,
+        update_epochs=4)
+    ppo.step(d_stop)
+    ppo.step(d_free)
+    diff = [not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(d_stop.params),
+            jax.tree.leaves(d_free.params))]
+    assert any(diff)  # stopping changed the outcome
+
+
+def test_loss_metric_names():
+    data = make_data()
+    ppo.step(data)
+    ppo._materialize_metrics(data)
+    for k in ['policy_loss', 'value_loss', 'entropy', 'old_approx_kl',
+            'approx_kl', 'clipfrac', 'explained_variance']:
+        assert k in data.losses
