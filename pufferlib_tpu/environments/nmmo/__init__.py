@@ -1,0 +1,22 @@
+"""Neural MMO binding (reference pufferlib/environments/nmmo/environment.py:15-76)."""
+import functools
+
+
+def env_creator(name='nmmo'):
+    return functools.partial(make, name)
+
+
+def make(name='nmmo', render_mode=None):
+    try:
+        import nmmo
+    except ImportError as e:
+        raise ImportError('nmmo is not installed in this image') from e
+    from pufferlib_tpu.host_env import PettingZooPufferEnv
+    from pufferlib_tpu.postprocess import MeanOverAgents, MultiagentEpisodeStats
+    from pufferlib_tpu.wrappers import PettingZooTruncatedWrapper
+
+    env = nmmo.Env()
+    env = PettingZooTruncatedWrapper(env)
+    env = MultiagentEpisodeStats(env)
+    env = MeanOverAgents(env)
+    return PettingZooPufferEnv(env=env)

@@ -94,6 +94,26 @@ def unroll_nested_dict(d, prefix=()):
             yield '/'.join(key), v
 
 
+def compare_space_samples(sample_1, sample_2, idx=None):
+    """Deep-compare two space samples; sample_2 may be a batched
+    version of sample_1 at index idx (reference utils.py:146-170)."""
+    import numpy as np
+    if isinstance(sample_1, dict):
+        return all(k in sample_2 and compare_space_samples(
+            v, sample_2[k], idx) for k, v in sample_1.items())
+    if isinstance(sample_1, (tuple, list)):
+        return len(sample_1) == len(sample_2) and all(
+            compare_space_samples(a, b, idx)
+            for a, b in zip(sample_1, sample_2))
+    sample_2 = np.asarray(sample_2)
+    if idx is not None:
+        sample_2 = sample_2[idx]
+    sample_1 = np.asarray(sample_1)
+    return sample_1.shape == np.asarray(sample_2).reshape(
+        sample_1.shape).shape and np.allclose(
+        sample_1, np.asarray(sample_2).reshape(sample_1.shape))
+
+
 def get_init_args(fn):
     """Introspect default kwargs of a callable's signature — used by the
     CLI to auto-generate flags (reference utils.py:34-53)."""

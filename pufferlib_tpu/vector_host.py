@@ -462,6 +462,53 @@ class HostMultiprocessing:
         return self.agents_per_batch
 
 
+def autotune(env_creator, env_args=None, env_kwargs=None, max_envs=64,
+        time_per_config=2.0, batch_fracs=(1.0, 0.5, 0.25)):
+    """Benchmark worker/batch configs for the host envpool and report the
+    max-SPS setting (reference vector.py:669-854). On-host envs only —
+    the device engine's knob is lane count (demo.py --mode autotune)."""
+    import os
+    results = {}
+    cores = os.cpu_count() or 1
+    print(f'{"workers":>8} {"batch":>6} {"SPS":>12}')
+    for workers in (1, 2, 4, 8, cores):
+        if workers > max_envs or workers > 2 * cores:
+            continue
+        envs = min(max_envs, workers * 4)
+        envs -= envs % workers
+        for frac in batch_fracs:
+            batch = max(int(envs * frac), envs // workers)
+            batch -= batch % (envs // workers)
+            if batch < 1 or envs % batch:
+                continue
+            try:
+                vec = HostMultiprocessing(env_creator, env_args,
+                    env_kwargs, num_envs=envs, num_workers=workers,
+                    batch_size=batch)
+                vec.async_reset()
+                obs, *_ = vec.recv()
+                atn = np.zeros((len(obs),
+                    *vec.single_action_space.shape), np.int64)
+                steps = 0
+                start = time.time()
+                vec.send(atn)
+                while time.time() - start < time_per_config:
+                    obs, *_ = vec.recv()
+                    vec.send(np.zeros((len(obs),
+                        *vec.single_action_space.shape), np.int64))
+                    steps += len(obs)
+                sps = steps / (time.time() - start)
+                results[(workers, batch)] = sps
+                print(f'{workers:>8} {batch:>6} {sps:>12.0f}')
+                vec.close()
+            except Exception as e:
+                print(f'{workers:>8} {batch:>6} failed: {e}')
+    if results:
+        (w, b), sps = max(results.items(), key=lambda kv: kv[1])
+        print(f'Best: num_workers={w} batch_size={b} ({sps:.0f} SPS)')
+    return results
+
+
 def make(env_creator, env_args=None, env_kwargs=None, backend=HostSerial,
         num_envs=1, num_workers=None, batch_size=None, seed=42, **kwargs):
     """Host vectorization factory (reference vector.py:577-637)."""
