@@ -85,7 +85,10 @@ def autoreset_step(env, state, done_prev, action, key):
     Both branches are computed (selects, not branches) — this is the
     vmap/SPMD-correct formulation; XLA dedups the cheap side.
     """
-    reset_key, step_key = jax.random.split(key)
+    # fold_in, not split: one threefry block per lane instead of two —
+    # the per-step per-lane key derivation is the vector engine's hot path
+    reset_key = jax.random.fold_in(key, 0)
+    step_key = jax.random.fold_in(key, 1)
     reset_state, reset_obs = env.reset(reset_key)
     stepped = env.step(state, action, step_key)
 

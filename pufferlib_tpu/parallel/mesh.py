@@ -51,6 +51,7 @@ def carry_shardings(mesh, carry, axis='env'):
     else:
         out['lstm'] = None
     out['key'] = replicated(mesh)
+    out['t'] = replicated(mesh)
     return out
 
 

@@ -154,6 +154,7 @@ def create(config, vecenv, policy, wandb=None, mesh=None):
         done=dones,
         obs=obs,
         keys=lane_keys,
+        t=jnp.uint32(0),
         lstm=lstm_state,
         key=key,
     )
@@ -267,8 +268,11 @@ def make_rollout_fn(policy, step_batch, config, T):
                     params, obs, key=act_key)
                 lstm = c['lstm']
 
-            split = jax.vmap(lambda k: tuple(jax.random.split(k)))
-            new_keys, env_keys = split(c['keys'])
+            # counter-mode lane keys: fold_in(lane_key, t) is one
+            # threefry block per lane; split-chains cost 2x+ and
+            # dominate the rollout at 32k+ lanes
+            env_keys = jax.vmap(jax.random.fold_in, (0, None))(
+                c['keys'], c['t'])
             (env_states, done_next, next_obs, reward, done, trunc,
                 infos) = step_batch(c['env'], c['done'], action, env_keys)
 
@@ -280,7 +284,7 @@ def make_rollout_fn(policy, step_batch, config, T):
                     jnp.logical_or(done, trunc).astype(jnp.float32)),
             )
             new_c = dict(env=env_states, done=done_next, obs=next_obs,
-                keys=new_keys, lstm=lstm, key=key)
+                keys=c['keys'], t=c['t'] + 1, lstm=lstm, key=key)
             return new_c, out
 
         def one_segment(c, _):

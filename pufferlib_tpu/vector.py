@@ -257,6 +257,8 @@ class Device:
         reset_batch, step_batch = make_env_ops(self.env, self.emulated)
         self._reset_batch = jax.jit(reset_batch)
         self._step_batch = jax.jit(step_batch, donate_argnums=(0,))
+        self._fold_steps = jax.jit(
+            jax.vmap(jax.random.fold_in, (0, None)))
 
     # ---- async protocol ----------------------------------------------
     def async_reset(self, seed=42):
@@ -271,6 +273,7 @@ class Device:
 
         states, obs, dones = self._reset_batch(reset_keys)
         self._state = namespace(env=states, done=dones, keys=lane_keys)
+        self._steps = [0] * self.num_groups
 
         agents = self.batch_agents
         zero_r = jnp.zeros(agents, jnp.float32)
@@ -293,7 +296,11 @@ class Device:
         states = jax.tree.map(lane_slice, self._state.env)
         done = lane_slice(self._state.done)
         keys = lane_slice(self._state.keys)
-        new_keys, sub = jax.vmap(lambda k: tuple(jax.random.split(k)))(keys)
+        # counter-mode derivation: lane keys are static, the step index
+        # folds in — one threefry block/lane/step (split-chains cost 2x+)
+        t = self._steps[g]
+        self._steps[g] = t + 1
+        sub = self._fold_steps(keys, jnp.uint32(t))
 
         (new_states, done_next, obs, rew, dn, tr, infos) = \
             self._step_batch(states, done, actions, sub)
@@ -304,7 +311,6 @@ class Device:
 
         self._state.env = jax.tree.map(scatter, self._state.env, new_states)
         self._state.done = scatter(self._state.done, done_next)
-        self._state.keys = scatter(self._state.keys, new_keys)
         self._pending[g] = (obs, rew, dn, tr, infos)
         self._group = (g + 1) % self.num_groups
 
@@ -383,6 +389,7 @@ class Serial:
             for i in range(self.num_envs_total)]
 
         env = self.env
+        self._step_count = 0
         self._states, obs_list, self._done = [], [], []
         for i in range(self.num_envs_total):
             state, obs = env.reset(reset_keys[i])
@@ -412,11 +419,12 @@ class Serial:
         native = nativize_actions(per_lane, env.action_space)
 
         obs_l, rew_l, done_l, trunc_l, info_l = [], [], [], [], []
+        t = self._step_count
+        self._step_count = t + 1
         for i in range(self.num_envs_total):
             lane_atn = jax.tree.map(
                 lambda a: a[i * A:(i + 1) * A] if A > 1 else a[i], native)
-            key, sub = jax.random.split(self._keys[i])
-            self._keys[i] = key
+            sub = jax.random.fold_in(self._keys[i], jnp.uint32(t))
             step, done_next = autoreset_step(
                 env, self._states[i], self._done[i], lane_atn, sub)
             self._states[i] = step.state
