@@ -29,9 +29,10 @@ def make_data(env_name='squared', recurrent=False, num_envs=16,
             hidden_size=64)
         policy = Policy(module)
     cfg.setdefault('data_dir', '/tmp/puffer_tpu_test')
+    cfg.setdefault('total_timesteps', batch_size * 4)
     config = ppo.default_config(env=env_name, batch_size=batch_size,
         minibatch_size=minibatch_size, bptt_horizon=bptt_horizon,
-        total_timesteps=batch_size * 4, verbose=False, **cfg)
+        verbose=False, **cfg)
     return ppo.create(config, vecenv, policy)
 
 
