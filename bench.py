@@ -43,18 +43,24 @@ def main():
     vecenv = vector.make(env_creator('squared'),
         env_kwargs=dict(distance_to_target=3, num_targets=1),
         backend=vector.Device, num_envs=num_envs)
+    import jax.numpy as jnp
+    dtype = jnp.dtype(os.environ.get('BENCH_DTYPE', 'bfloat16')).type
     policy = Policy(Default(
         obs_shape=vecenv.single_observation_space.shape,
-        action_space=vecenv.single_action_space, hidden_size=hidden))
+        action_space=vecenv.single_action_space, hidden_size=hidden,
+        dtype=dtype))
     config = ppo.default_config(
         env='squared',
         batch_size=batch_size,
         minibatch_size=batch_size // 4,
         bptt_horizon=16,
-        total_timesteps=batch_size * (epochs + 2),
+        # large enough that done_training (checkpoint save + metric
+        # materialization) never fires inside the timed region
+        total_timesteps=batch_size * 1_000_000,
+        anneal_lr=False,
         verbose=False,
         data_dir='/tmp/puffer_tpu_bench',
-        checkpoint_interval=10_000,
+        checkpoint_interval=1_000_000,
     )
     data = ppo.create(config, vecenv, policy)
 
@@ -63,12 +69,13 @@ def main():
     ppo.step_many(data, chunk)
     jax.block_until_ready(data.carry['obs'])
 
+    reps = max(epochs // chunk, 1)
     start = time.perf_counter()
-    for _ in range(max(epochs // chunk, 1)):
+    for _ in range(reps):
         ppo.step_many(data, chunk)
     jax.block_until_ready(data.carry['obs'])
     elapsed = time.perf_counter() - start
-    epochs = max(epochs // chunk, 1) * chunk
+    epochs = reps * chunk
 
     sps = epochs * batch_size / elapsed
     print(json.dumps({

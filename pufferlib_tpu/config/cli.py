@@ -150,13 +150,18 @@ def make_policy(vecenv, env_module, args):
     obs_shape = vecenv.single_observation_space.shape
     atn_space = vecenv.single_action_space
 
+    policy_kwargs = dict(args.policy)
+    if isinstance(policy_kwargs.get('dtype'), str):
+        import jax.numpy as jnp
+        policy_kwargs['dtype'] = jnp.dtype(policy_kwargs['dtype']).type
+
     policy_cls = getattr(env_module, 'Policy', None)
     if policy_cls is not None:
         module = policy_cls(obs_shape=obs_shape, action_space=atn_space,
-            **dict(args.policy))
+            **policy_kwargs)
     else:
         module = Default(obs_shape=obs_shape, action_space=atn_space,
-            **dict(args.policy))
+            **policy_kwargs)
 
     if args.use_rnn:
         hidden = dict(args.rnn).get('hidden_size',

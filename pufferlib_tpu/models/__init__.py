@@ -27,10 +27,16 @@ def orthogonal_init(std=np.sqrt(2)):
     return nn.initializers.orthogonal(scale=std)
 
 
-def layer_init_dense(features, std=np.sqrt(2), name=None):
-    """CleanRL's layer_init: orthogonal weights, zero bias."""
+def layer_init_dense(features, std=np.sqrt(2), name=None,
+        dtype=jnp.float32):
+    """CleanRL's layer_init: orthogonal weights, zero bias.
+
+    `dtype` is the compute dtype (bfloat16 doubles MXU throughput and
+    halves activation HBM traffic); params always stay float32.
+    """
     return nn.Dense(features, kernel_init=orthogonal_init(std),
-        bias_init=nn.initializers.zeros, name=name)
+        bias_init=nn.initializers.zeros, name=name,
+        dtype=dtype, param_dtype=jnp.float32)
 
 
 def _action_info(action_space):
@@ -48,25 +54,29 @@ class Default(nn.Module):
     obs_shape: tuple
     action_space: object
     hidden_size: int = 128
+    dtype: object = jnp.float32
 
     def setup(self):
-        self.encoder = layer_init_dense(self.hidden_size, name='encoder')
+        self.encoder = layer_init_dense(self.hidden_size, name='encoder',
+            dtype=self.dtype)
         is_md, nvec = _action_info(self.action_space)
         self.is_multidiscrete = is_md
-        self.decoders = [layer_init_dense(n, std=0.01, name=f'decoder_{i}')
-            for i, n in enumerate(nvec)]
-        self.value_head = layer_init_dense(1, std=1.0, name='value_head')
+        self.decoders = [layer_init_dense(n, std=0.01, name=f'decoder_{i}',
+            dtype=self.dtype) for i, n in enumerate(nvec)]
+        self.value_head = layer_init_dense(1, std=1.0, name='value_head',
+            dtype=self.dtype)
 
     def encode_observations(self, observations):
         batch = observations.shape[0]
-        x = observations.reshape(batch, -1).astype(jnp.float32)
+        x = observations.reshape(batch, -1).astype(self.dtype)
         return jax.nn.relu(self.encoder(x)), None
 
     def decode_actions(self, hidden, lookup=None):
-        value = self.value_head(hidden)
+        value = self.value_head(hidden).astype(jnp.float32)
         if self.is_multidiscrete:
-            return [dec(hidden) for dec in self.decoders], value
-        return self.decoders[0](hidden), value
+            return [dec(hidden).astype(jnp.float32)
+                for dec in self.decoders], value
+        return self.decoders[0](hidden).astype(jnp.float32), value
 
     def __call__(self, observations):
         hidden, lookup = self.encode_observations(observations)
@@ -89,6 +99,7 @@ class LSTMWrapper(nn.Module):
     input_size: int = 128
     hidden_size: int = 128
     num_layers: int = 1
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, state=None):
@@ -127,11 +138,13 @@ class LSTMWrapper(nn.Module):
             b = self.param(f'b_l{layer}', nn.initializers.zeros, (4 * H,))
 
             # One big MXU matmul for every timestep's input projection
-            x_proj = layer_in @ w_ih + b  # (B, T, 4H)
+            x_proj = (layer_in.astype(self.dtype)
+                @ w_ih.astype(self.dtype)).astype(jnp.float32) + b
 
             def cell(carry, xt):
                 h, c = carry
-                gates = xt + h @ w_hh
+                gates = xt + (h.astype(self.dtype)
+                    @ w_hh.astype(self.dtype)).astype(jnp.float32)
                 i, f, g, o = jnp.split(gates, 4, axis=-1)
                 i, f, o = (jax.nn.sigmoid(i), jax.nn.sigmoid(f),
                     jax.nn.sigmoid(o))
@@ -166,23 +179,27 @@ class Convolutional(nn.Module):
     hidden_size: int = 512
     channels_last: bool = False
     downsample: int = 1
+    dtype: object = jnp.float32
 
     def setup(self):
         conv = lambda f, k, s, name: nn.Conv(f, (k, k), strides=(s, s),
             padding='VALID', kernel_init=orthogonal_init(),
-            bias_init=nn.initializers.zeros, name=name)
+            bias_init=nn.initializers.zeros, name=name,
+            dtype=self.dtype, param_dtype=jnp.float32)
         self.conv1 = conv(32, 8, 4, 'conv1')
         self.conv2 = conv(64, 4, 2, 'conv2')
         self.conv3 = conv(64, 3, 1, 'conv3')
-        self.fc = layer_init_dense(self.hidden_size, name='fc')
+        self.fc = layer_init_dense(self.hidden_size, name='fc',
+            dtype=self.dtype)
         is_md, nvec = _action_info(self.action_space)
         self.is_multidiscrete = is_md
-        self.decoders = [layer_init_dense(n, std=0.01, name=f'actor_{i}')
-            for i, n in enumerate(nvec)]
-        self.value_fn = layer_init_dense(1, std=1.0, name='value_fn')
+        self.decoders = [layer_init_dense(n, std=0.01, name=f'actor_{i}',
+            dtype=self.dtype) for i, n in enumerate(nvec)]
+        self.value_fn = layer_init_dense(1, std=1.0, name='value_fn',
+            dtype=self.dtype)
 
     def encode_observations(self, observations):
-        x = observations.astype(jnp.float32) / 255.0
+        x = observations.astype(self.dtype) / jnp.asarray(255.0, self.dtype)
         if not self.channels_last:
             # stored NCHW (torch layout); convert to NHWC for TPU convs
             x = jnp.transpose(x, (0, 2, 3, 1))
@@ -195,10 +212,11 @@ class Convolutional(nn.Module):
         return jax.nn.relu(self.fc(x)), None
 
     def decode_actions(self, hidden, lookup=None):
-        value = self.value_fn(hidden)
+        value = self.value_fn(hidden).astype(jnp.float32)
         if self.is_multidiscrete:
-            return [dec(hidden) for dec in self.decoders], value
-        return self.decoders[0](hidden), value
+            return [dec(hidden).astype(jnp.float32)
+                for dec in self.decoders], value
+        return self.decoders[0](hidden).astype(jnp.float32), value
 
     def __call__(self, observations):
         hidden, lookup = self.encode_observations(observations)

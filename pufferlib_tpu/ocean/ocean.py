@@ -326,34 +326,53 @@ class Squared(PufferEnv):
         perim = [(x, y) for x in range(grid_size) for y in range(grid_size)
             if x == 0 or y == 0 or x == grid_size - 1 or y == grid_size - 1]
         self.perimeter = jnp.asarray(np.array(perim, dtype=np.int32))
+        # static scatter pattern: perimeter slot -> flat grid cell, as a
+        # one-hot matrix so obs construction is one small MXU matmul under
+        # vmap instead of a batched scatter (scatters serialize on TPU)
+        n_perim = len(perim)
+        onehot = np.zeros((n_perim, grid_size * grid_size), np.float32)
+        for i, (x, y) in enumerate(perim):
+            onehot[i, x * grid_size + y] = 1.0
+        self._perim_onehot = jnp.asarray(onehot)
+        self._cell_iota = jnp.arange(grid_size * grid_size, dtype=jnp.int32)
         self.observation_space = spaces.Box(
             low=-1, high=1, shape=(grid_size, grid_size))
         self.action_space = spaces.Discrete(8)
         self.render_mode = 'ansi'
 
+    def _obs(self, chosen, pos):
+        """Rebuild the grid from sparse state: +1 at every episode target
+        (hit targets stay visible, reference :406-527), -1 at the agent.
+        Scatter-free: target pattern is a (n_perim, G*G) constant matmul;
+        the agent marker is an iota compare."""
+        g = self.grid_size
+        targets = chosen.astype(jnp.float32) @ self._perim_onehot
+        agent = (self._cell_iota == pos[0] * g + pos[1]).astype(jnp.float32)
+        return (targets - agent).reshape(g, g)
+
     def reset(self, key):
         d = self.distance_to_target
         n_perim = self.perimeter.shape[0]
-        chosen = jax.random.choice(
-            key, n_perim, (self.num_targets,), replace=False)
-        alive = jnp.zeros(n_perim, jnp.bool_).at[chosen].set(True)
-        grid = jnp.zeros((self.grid_size, self.grid_size), jnp.float32)
-        grid = grid.at[d, d].set(-1.0)
-        tx, ty = self.perimeter[:, 0], self.perimeter[:, 1]
-        grid = grid.at[tx, ty].add(jnp.where(alive, 1.0, 0.0))
+        # k-of-n without replacement via gumbel top-k (no full sort)
+        z = jax.random.uniform(key, (n_perim,))
+        _, idx = jax.lax.top_k(z, self.num_targets)
+        chosen = jnp.any(
+            self._perim_iota()[None, :] == idx[:, None], axis=0)
         state = dict(
-            grid=grid,
+            chosen=chosen,
+            alive=chosen,
             agent_pos=jnp.array([d, d], jnp.int32),
-            alive=alive,
             tick=jnp.int32(0),
         )
-        return state, grid
+        return state, self._obs(chosen, state['agent_pos'])
+
+    def _perim_iota(self):
+        return jnp.arange(self.perimeter.shape[0], dtype=jnp.int32)
 
     def step(self, state, action, key):
         d = self.distance_to_target
-        grid, alive = state['grid'], state['alive']
+        alive = state['alive']
         x, y = state['agent_pos'][0], state['agent_pos'][1]
-        grid = grid.at[x, y].set(0.0)
 
         move = jnp.asarray(self.MOVES)[jnp.asarray(action, jnp.int32)]
         x, y = x + move[0], y + move[1]
@@ -370,7 +389,6 @@ class Squared(PufferEnv):
         on_perim = dist_from_origin >= d
         pos = jnp.where(on_perim, jnp.array([d, d], jnp.int32),
             jnp.stack([x, y]))
-        grid = grid.at[pos[0], pos[1]].set(-1.0)
 
         tick = state['tick'] + 1
         done = tick >= self.max_ticks
@@ -378,8 +396,10 @@ class Squared(PufferEnv):
         score = (self.num_targets - remaining).astype(
             jnp.float32) / self.num_targets
         info = {'score': jnp.where(done, score, 0.0)}
-        new_state = dict(grid=grid, agent_pos=pos, alive=alive, tick=tick)
-        return Step(new_state, grid, reward, done, jnp.bool_(False), info)
+        new_state = dict(chosen=state['chosen'], alive=alive,
+            agent_pos=pos, tick=tick)
+        obs = self._obs(state['chosen'], pos)
+        return Step(new_state, obs, reward, done, jnp.bool_(False), info)
 
     def render(self, state):
         chars = []
