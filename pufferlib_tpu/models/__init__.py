@@ -39,6 +39,22 @@ def layer_init_dense(features, std=np.sqrt(2), name=None,
         dtype=dtype, param_dtype=jnp.float32)
 
 
+def _block_orthogonal_init(nvec):
+    """Kernel init for the fused [logit blocks | value] head: each block
+    orthogonal with CleanRL's stds (0.01 for action decoders, 1.0 for
+    the value column), concatenated along the output axis."""
+    def init(key, shape, dtype=jnp.float32):
+        in_dim, out = shape
+        assert out == sum(nvec) + 1
+        keys = jax.random.split(key, len(nvec) + 1)
+        blocks = [nn.initializers.orthogonal(scale=0.01)(
+            k, (in_dim, n), dtype) for k, n in zip(keys, nvec)]
+        blocks.append(nn.initializers.orthogonal(scale=1.0)(
+            keys[-1], (in_dim, 1), dtype))
+        return jnp.concatenate(blocks, axis=1)
+    return init
+
+
 def _action_info(action_space):
     """(is_multidiscrete, nvec list) for a flat (emulated) action space."""
     if isinstance(action_space, spaces.MultiDiscrete):
@@ -61,10 +77,14 @@ class Default(nn.Module):
             dtype=self.dtype)
         is_md, nvec = _action_info(self.action_space)
         self.is_multidiscrete = is_md
-        self.decoders = [layer_init_dense(n, std=0.01, name=f'decoder_{i}',
-            dtype=self.dtype) for i, n in enumerate(nvec)]
-        self.value_head = layer_init_dense(1, std=1.0, name='value_head',
-            dtype=self.dtype)
+        self.nvec = nvec
+        # one fused head matmul: [decoder_0 | ... | decoder_k | value].
+        # Same per-block orthogonal init as separate heads (std 0.01 for
+        # logits, 1.0 for value), one MXU dispatch on the rollout hot path.
+        self.head = nn.Dense(sum(nvec) + 1,
+            kernel_init=_block_orthogonal_init(nvec),
+            bias_init=nn.initializers.zeros, name='head',
+            dtype=self.dtype, param_dtype=jnp.float32)
 
     def encode_observations(self, observations):
         batch = observations.shape[0]
@@ -72,11 +92,15 @@ class Default(nn.Module):
         return jax.nn.relu(self.encoder(x)), None
 
     def decode_actions(self, hidden, lookup=None):
-        value = self.value_head(hidden).astype(jnp.float32)
+        out = self.head(hidden).astype(jnp.float32)
+        value = out[..., -1:]
         if self.is_multidiscrete:
-            return [dec(hidden).astype(jnp.float32)
-                for dec in self.decoders], value
-        return self.decoders[0](hidden).astype(jnp.float32), value
+            logits, off = [], 0
+            for n in self.nvec:
+                logits.append(out[..., off:off + n])
+                off += n
+            return logits, value
+        return out[..., :-1], value
 
     def __call__(self, observations):
         hidden, lookup = self.encode_observations(observations)

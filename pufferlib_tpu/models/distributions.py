@@ -10,10 +10,15 @@ import jax.numpy as jnp
 
 
 def log_prob(logits, value):
-    """logprob of integer actions under normalized logits (B, A)."""
+    """logprob of integer actions under normalized logits (B, A).
+
+    One-hot contraction instead of take_along_axis: TPU lowers the
+    gather (and its scatter backward) far slower than the elementwise
+    select+reduce."""
     logp = jax.nn.log_softmax(logits, axis=-1)
-    return jnp.take_along_axis(
-        logp, value[..., None].astype(jnp.int32), axis=-1).squeeze(-1)
+    onehot = jax.nn.one_hot(value.astype(jnp.int32), logits.shape[-1],
+        dtype=logp.dtype)
+    return jnp.sum(logp * onehot, axis=-1)
 
 
 def entropy(logits):
@@ -21,6 +26,17 @@ def entropy(logits):
     logp = jax.nn.log_softmax(logits, axis=-1)
     p = jnp.exp(logp)
     return -jnp.sum(p * logp, axis=-1)
+
+
+def _sample_categorical(key, logits):
+    """Inverse-CDF categorical sample: ONE uniform per row instead of
+    gumbel's A uniforms + logs (jax.random.categorical). On the rollout
+    hot path the RNG bits dominate for small A."""
+    probs = jax.nn.softmax(logits, axis=-1)
+    cdf = jnp.cumsum(probs, axis=-1)
+    u = jax.random.uniform(key, logits.shape[:-1], dtype=probs.dtype)
+    return jnp.sum((u[..., None] > cdf).astype(jnp.int32), axis=-1).clip(
+        0, logits.shape[-1] - 1)
 
 
 def sample_logits(logits, action=None, key=None):
@@ -38,7 +54,7 @@ def sample_logits(logits, action=None, key=None):
     if action is None:
         assert key is not None, 'sampling requires a PRNG key'
         keys = jax.random.split(key, len(logits_list))
-        actions = [jax.random.categorical(k, l)
+        actions = [_sample_categorical(k, l)
             for k, l in zip(keys, logits_list)]
     else:
         action = jnp.asarray(action)

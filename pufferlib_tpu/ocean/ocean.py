@@ -136,7 +136,7 @@ class Multiagent(PufferEnv):
         self.observation_space = spaces.Box(low=0, high=1, shape=(1,))
         self.action_space = spaces.Discrete(2)
         self.render_mode = 'ansi'
-        self._obs = jnp.array([[0.0], [1.0]], jnp.float32)
+        self._obs = np.array([[0.0], [1.0]], np.float32)
 
     def reset(self, key):
         return {}, self._obs
@@ -161,8 +161,8 @@ class Password(PufferEnv):
     def __init__(self, password_length=5, hard_fixed_seed=42):
         self.password_length = password_length
         rng = np.random.RandomState(hard_fixed_seed)
-        self.solution = jnp.asarray(
-            rng.randint(0, 2, size=password_length).astype(np.float32))
+        self.solution = rng.randint(
+            0, 2, size=password_length).astype(np.float32)
         self.observation_space = spaces.Box(
             low=0, high=1, shape=(password_length,))
         self.action_space = spaces.Discrete(2)
@@ -204,9 +204,8 @@ class Performance(PufferEnv):
         self.observation_space = spaces.Box(
             low=-2**20, high=2**20, shape=(bandwidth,), dtype=np.float32)
         self.action_space = spaces.Discrete(2)
-        self._obs = jnp.asarray(
-            np.random.RandomState(0).uniform(
-                -1, 1, bandwidth).astype(np.float32))
+        self._obs = np.random.RandomState(0).uniform(
+            -1, 1, bandwidth).astype(np.float32)
         self.render_mode = 'ansi'
 
     def reset(self, key):
@@ -239,9 +238,8 @@ class PerformanceEmpiric(PufferEnv):
         self.observation_space = spaces.Box(
             low=-2**20, high=2**20, shape=(bandwidth,), dtype=np.float32)
         self.action_space = spaces.Discrete(2)
-        self._obs = jnp.asarray(
-            np.random.RandomState(0).uniform(
-                -1, 1, bandwidth).astype(np.float32))
+        self._obs = np.random.RandomState(0).uniform(
+            -1, 1, bandwidth).astype(np.float32)
         self.render_mode = 'ansi'
 
     def reset(self, key):
@@ -325,7 +323,7 @@ class Squared(PufferEnv):
         self.max_ticks = num_targets * distance_to_target
         perim = [(x, y) for x in range(grid_size) for y in range(grid_size)
             if x == 0 or y == 0 or x == grid_size - 1 or y == grid_size - 1]
-        self.perimeter = jnp.asarray(np.array(perim, dtype=np.int32))
+        self.perimeter = np.array(perim, dtype=np.int32)
         # static scatter pattern: perimeter slot -> flat grid cell, as a
         # one-hot matrix so obs construction is one small MXU matmul under
         # vmap instead of a batched scatter (scatters serialize on TPU)
@@ -333,8 +331,8 @@ class Squared(PufferEnv):
         onehot = np.zeros((n_perim, grid_size * grid_size), np.float32)
         for i, (x, y) in enumerate(perim):
             onehot[i, x * grid_size + y] = 1.0
-        self._perim_onehot = jnp.asarray(onehot)
-        self._cell_iota = jnp.arange(grid_size * grid_size, dtype=jnp.int32)
+        self._perim_onehot = onehot
+        self._cell_iota = np.arange(grid_size * grid_size, dtype=np.int32)
         self.observation_space = spaces.Box(
             low=-1, high=1, shape=(grid_size, grid_size))
         self.action_space = spaces.Discrete(8)
@@ -353,11 +351,18 @@ class Squared(PufferEnv):
     def reset(self, key):
         d = self.distance_to_target
         n_perim = self.perimeter.shape[0]
-        # k-of-n without replacement via gumbel top-k (no full sort)
-        z = jax.random.uniform(key, (n_perim,))
-        _, idx = jax.lax.top_k(z, self.num_targets)
-        chosen = jnp.any(
-            self._perim_iota()[None, :] == idx[:, None], axis=0)
+        if self.num_targets == 1:
+            # fast path: one random draw instead of n_perim (the reset
+            # branch runs every step under the autoreset select, so its
+            # RNG cost is on the rollout hot path)
+            idx = jax.random.randint(key, (), 0, n_perim)
+            chosen = self._perim_iota() == idx
+        else:
+            # k-of-n without replacement via gumbel top-k (no full sort)
+            z = jax.random.uniform(key, (n_perim,))
+            _, idx = jax.lax.top_k(z, self.num_targets)
+            chosen = jnp.any(
+                self._perim_iota()[None, :] == idx[:, None], axis=0)
         state = dict(
             chosen=chosen,
             alive=chosen,
@@ -374,7 +379,11 @@ class Squared(PufferEnv):
         alive = state['alive']
         x, y = state['agent_pos'][0], state['agent_pos'][1]
 
-        move = jnp.asarray(self.MOVES)[jnp.asarray(action, jnp.int32)]
+        # one-hot contraction instead of a row gather: under vmap the
+        # gather serializes; the (8,)x(8,2) contraction is elementwise
+        onehot = jax.nn.one_hot(
+            jnp.asarray(action, jnp.int32), len(self.MOVES), dtype=jnp.int32)
+        move = onehot @ jnp.asarray(self.MOVES)
         x, y = x + move[0], y + move[1]
 
         tx, ty = self.perimeter[:, 0], self.perimeter[:, 1]

@@ -60,9 +60,10 @@ def test_policy_pool_routes_by_policy_map():
         flat = flax.traverse_util.flatten_dict(params)
         out = {}
         for k, v in flat.items():
-            if 'decoder_0' in k and k[-1] == 'bias':
-                v = jnp.asarray([logit0, -logit0], jnp.float32)
-            elif 'decoder_0' in k and k[-1] == 'kernel':
+            # fused head layout: [logit_0, logit_1, value]
+            if 'head' in k and k[-1] == 'bias':
+                v = jnp.asarray([logit0, -logit0, 0.0], jnp.float32)
+            elif 'head' in k and k[-1] == 'kernel':
                 v = jnp.zeros_like(v)
             out[k] = v
         return flax.traverse_util.unflatten_dict(out)
