@@ -37,7 +37,7 @@ def main():
         num_envs = int(os.environ.get('BENCH_NUM_ENVS', 8192))
         horizon = int(os.environ.get('BENCH_HORIZON', 64))
         hidden = int(os.environ.get('BENCH_HIDDEN', 128))
-        epochs = int(os.environ.get('BENCH_EPOCHS', 5))
+        epochs = int(os.environ.get('BENCH_EPOCHS', 100))
 
     batch_size = num_envs * horizon
     vecenv = vector.make(env_creator('squared'),
@@ -58,22 +58,25 @@ def main():
         # materialization) never fires inside the timed region
         total_timesteps=batch_size * 1_000_000,
         anneal_lr=False,
+        obs_store_dtype='bfloat16' if dtype == jnp.bfloat16 else None,
         verbose=False,
         data_dir='/tmp/puffer_tpu_bench',
         checkpoint_interval=1_000_000,
     )
     data = ppo.create(config, vecenv, policy)
 
-    # warmup: compile the multi-epoch fused program
-    chunk = int(os.environ.get('BENCH_CHUNK', 5))
+    # warmup: compile the multi-epoch fused program. NOTE: on the axon
+    # runtime block_until_ready returns before device work completes;
+    # only a value fetch is an honest synchronization point.
+    chunk = int(os.environ.get('BENCH_CHUNK', 10))
     ppo.step_many(data, chunk)
-    jax.block_until_ready(data.carry['obs'])
+    float(data.carry['t'])
 
     reps = max(epochs // chunk, 1)
     start = time.perf_counter()
     for _ in range(reps):
         ppo.step_many(data, chunk)
-    jax.block_until_ready(data.carry['obs'])
+    float(data.carry['t'])
     elapsed = time.perf_counter() - start
     epochs = reps * chunk
 

@@ -159,11 +159,21 @@ def create(config, vecenv, policy, wandb=None, mesh=None):
         key=key,
     )
 
-    def step_raw(params, opt_state, carry, lr):
+    def compute_lr(t):
+        """lr schedule computed ON DEVICE from the carried step counter —
+        a host-provided lr scalar would cost a full host->device transfer
+        round trip per dispatch (dominant on tunneled TPUs)."""
+        if not config.anneal_lr:
+            return jnp.float32(config.learning_rate)
+        frac = 1.0 - (t.astype(jnp.float32) * total_agents
+            ) / config.total_timesteps
+        return jnp.float32(config.learning_rate) * jnp.maximum(frac, 0.0)
+
+    def step_raw(params, opt_state, carry):
         """Fused epoch: rollout + GAE + PPO update in ONE XLA program —
-        a single device dispatch per epoch, zero host round-trips. The
-        trainer PRNG chain advances inside the program, so back-to-back
-        epochs pipeline asynchronously on device."""
+        a single device dispatch per epoch, zero host round-trips (the
+        PRNG chain and lr schedule both advance inside the program)."""
+        lr = compute_lr(carry['t'])
         key, update_key = jax.random.split(carry['key'])
         carry = {**carry, 'key': key}
         carry, batch, info_sums, episode_count = rollout_raw(params, carry)
@@ -171,19 +181,20 @@ def create(config, vecenv, policy, wandb=None, mesh=None):
             params, opt_state, batch, update_key, lr)
         return params, opt_state, carry, stats, info_sums, episode_count
 
-    def multi_step_raw(params, opt_state, carry, lrs):
-        """K fused epochs in ONE dispatch (lax.scan over step_raw) — for
-        high dispatch-latency links (remote TPU) this amortizes the
-        round trip to nothing. lrs: (K,) per-epoch learning rates."""
-        def body(c, lr):
+    def multi_step_raw(params, opt_state, carry, n_epochs):
+        """n_epochs fused epochs in ONE dispatch (lax.scan over step_raw)
+        — for high dispatch-latency links (remote TPU) this amortizes
+        the round trip to nothing. n_epochs is static."""
+        def body(c, _):
             params, opt_state, carry = c
             (params, opt_state, carry, stats, info_sums,
-                episode_count) = step_raw(params, opt_state, carry, lr)
+                episode_count) = step_raw(params, opt_state, carry)
             return (params, opt_state, carry), (
                 stats, info_sums, episode_count)
 
         (params, opt_state, carry), (stats, info_sums, counts) = \
-            jax.lax.scan(body, (params, opt_state, carry), lrs)
+            jax.lax.scan(body, (params, opt_state, carry), None,
+                length=n_epochs)
         stats = jax.tree.map(lambda x: x[-1], stats)
         info_sums = jax.tree.map(lambda x: jnp.sum(x, axis=0), info_sums)
         return params, opt_state, carry, stats, info_sums, jnp.sum(counts)
@@ -192,7 +203,8 @@ def create(config, vecenv, policy, wandb=None, mesh=None):
         rollout_fn = jax.jit(rollout_raw, donate_argnums=(1,))
         update_fn = jax.jit(update_raw, donate_argnums=(0, 1))
         step_fn = jax.jit(step_raw, donate_argnums=(0, 1, 2))
-        multi_step_fn = jax.jit(multi_step_raw, donate_argnums=(0, 1, 2))
+        multi_step_fn = jax.jit(multi_step_raw, donate_argnums=(0, 1, 2),
+            static_argnums=(3,))
     else:
         from pufferlib_tpu.parallel import (
             carry_shardings, batch_shardings, replicated)
@@ -210,13 +222,13 @@ def create(config, vecenv, policy, wandb=None, mesh=None):
             out_shardings=(repl, repl, repl),
             donate_argnums=(0, 1))
         step_fn = jax.jit(step_raw,
-            in_shardings=(repl, repl, c_shard, repl),
+            in_shardings=(repl, repl, c_shard),
             out_shardings=(repl, repl, c_shard, repl, repl, repl),
             donate_argnums=(0, 1, 2))
         multi_step_fn = jax.jit(multi_step_raw,
-            in_shardings=(repl, repl, c_shard, repl),
+            in_shardings=(repl, repl, c_shard),
             out_shardings=(repl, repl, c_shard, repl, repl, repl),
-            donate_argnums=(0, 1, 2))
+            donate_argnums=(0, 1, 2), static_argnums=(3,))
         # place state per the shardings
         params = jax.device_put(params, repl)
         opt_state = jax.device_put(opt_state, repl)
@@ -256,6 +268,11 @@ def make_rollout_fn(policy, step_batch, config, T):
     recurrent = isinstance(policy, RecurrentPolicy)
     horizon = config.bptt_horizon
 
+    # storing the collected obs in a narrower dtype (e.g. bfloat16)
+    # halves the batch's HBM traffic across every update epoch; the
+    # policy casts to its compute dtype on entry either way
+    store_dtype = config.get('obs_store_dtype', None)
+
     def rollout(params, carry):
         def one_step(c, _):
             key, act_key = jax.random.split(c['key'])
@@ -277,7 +294,8 @@ def make_rollout_fn(policy, step_batch, config, T):
                 infos) = step_batch(c['env'], c['done'], action, env_keys)
 
             out = dict(
-                obs=obs, action=action, logprob=logprob,
+                obs=obs if store_dtype is None else obs.astype(store_dtype),
+                action=action, logprob=logprob,
                 value=value.reshape(-1), reward=reward,
                 done=done.astype(jnp.float32), info=infos,
                 info_count=jnp.sum(
@@ -289,7 +307,8 @@ def make_rollout_fn(policy, step_batch, config, T):
 
         def one_segment(c, _):
             lstm0 = c['lstm']
-            c, outs = jax.lax.scan(one_step, c, None, length=horizon)
+            c, outs = jax.lax.scan(one_step, c, None, length=horizon,
+                unroll=config.get('rollout_unroll', 4))
             return c, (outs, lstm0)
 
         c = dict(carry)
@@ -580,7 +599,7 @@ def step(data):
 
     (data.params, data.opt_state, data.carry, stats, info_sums,
         episode_count) = data.step_fn(data.params, data.opt_state,
-        data.carry, jnp.float32(lr))
+        data.carry)
 
     # keep metrics as device arrays; materialize lazily
     data.pending = (stats, info_sums, episode_count)
@@ -610,23 +629,19 @@ def step_many(data, epochs):
     semantics as calling step() `epochs` times, minus the per-epoch
     dispatch latency; dashboard/wandb fire once at the end."""
     config = data.config
-    lrs = []
-    for e in range(epochs):
-        lr = config.learning_rate
-        if config.anneal_lr:
-            frac = 1.0 - (data.global_step
-                + e * config.batch_size) / config.total_timesteps
-            lr = frac * config.learning_rate
-        lrs.append(lr)
-    lrs = jnp.asarray(lrs, jnp.float32)
+    lr = config.learning_rate
+    if config.anneal_lr:
+        frac = 1.0 - (data.global_step
+            + (epochs - 1) * config.batch_size) / config.total_timesteps
+        lr = frac * config.learning_rate
 
     (data.params, data.opt_state, data.carry, stats, info_sums,
         episode_count) = data.multi_step_fn(data.params, data.opt_state,
-        data.carry, lrs)
+        data.carry, epochs)
     data.pending = (stats, info_sums, episode_count)
     data.global_step += epochs * config.batch_size
     data.epoch += epochs
-    data.last_lr = float(lrs[-1])
+    data.last_lr = lr
 
     done_training = data.global_step >= config.total_timesteps
     wants_metrics = (data.dashboard is not None or config.verbose
