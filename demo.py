@@ -233,6 +233,20 @@ def sweep(args, env_module, creator):
     return results
 
 
+def baseline(args, env_module, creator):
+    """Download the latest wandb model artifact for this experiment and
+    evaluate it (reference demo.py:245-258)."""
+    wandb = init_wandb(args, resume=False)
+    artifact_name = f'{args.exp_id}_model:latest'
+    artifact = wandb.run.use_artifact(artifact_name)
+    data_dir = artifact.download()
+    ckpts = sorted(os.listdir(data_dir))
+    if not ckpts:
+        raise FileNotFoundError(f'no checkpoints in artifact {artifact_name}')
+    args.model_path = os.path.join(data_dir, ckpts[-1])
+    evaluate(args, env_module, creator)
+
+
 def main(argv=None):
     from pufferlib_tpu.config.cli import load_config
     args, env_module, creator = load_config(argv=argv)
@@ -247,6 +261,8 @@ def main(argv=None):
         profile(args, env_module, creator)
     elif args.mode == 'sweep':
         sweep(args, env_module, creator)
+    elif args.mode == 'baseline':
+        baseline(args, env_module, creator)
     elif args.mode == 'bench':
         os.system(f'{sys.executable} bench.py')
 

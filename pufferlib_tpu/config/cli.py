@@ -81,7 +81,8 @@ def load_config(env_name=None, argv=None, config_path=None):
     base.add_argument('--env', '--environment', default=env_name
         or 'squared')
     base.add_argument('--mode', default='train', choices=(
-        'train', 'eval', 'sweep', 'autotune', 'profile', 'bench'))
+        'train', 'eval', 'sweep', 'autotune', 'profile', 'baseline',
+        'bench'))
     base.add_argument('--vec', default='device',
         choices=('device', 'serial', 'multiprocessing'))
     base.add_argument('--exp-id', '--exp-name', default=None)
@@ -157,6 +158,9 @@ def make_policy(vecenv, env_module, args):
 
     policy_cls = getattr(env_module, 'Policy', None)
     if policy_cls is not None:
+        fields = getattr(policy_cls, '__dataclass_fields__', {})
+        if 'emulated' in fields and 'emulated' not in policy_kwargs:
+            policy_kwargs['emulated'] = getattr(vecenv, 'emulated', None)
         module = policy_cls(obs_shape=obs_shape, action_space=atn_space,
             **policy_kwargs)
     else:

@@ -2,6 +2,10 @@
 pufferlib/environments/minihack/torch.py:4)."""
 import functools
 
+from pufferlib_tpu.environments.nethack.policy import Policy  # noqa: F401
+
+Recurrent = dict(input_size=256, hidden_size=256, num_layers=1)
+
 
 def env_creator(name='MiniHack-River-v0'):
     return functools.partial(make, name)

@@ -1,6 +1,10 @@
 """NetHack binding (reference pufferlib/environments/nethack)."""
 import functools
 
+from pufferlib_tpu.environments.nethack.policy import Policy  # noqa: F401
+
+Recurrent = dict(input_size=256, hidden_size=256, num_layers=1)
+
 
 def env_creator(name='nethack'):
     return functools.partial(make, name)

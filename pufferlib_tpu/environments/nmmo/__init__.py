@@ -1,6 +1,10 @@
 """Neural MMO binding (reference pufferlib/environments/nmmo/environment.py:15-76)."""
 import functools
 
+from pufferlib_tpu.environments.nmmo.policy import Policy  # noqa: F401
+
+Recurrent = dict(input_size=256, hidden_size=256, num_layers=1)
+
 
 def env_creator(name='nmmo'):
     return functools.partial(make, name)

@@ -3,6 +3,10 @@ PufferEnv that skips emulation — the analog here is a jax-native env,
 which third-party nmmo3 does not provide; binding is host-side)."""
 import functools
 
+from pufferlib_tpu.environments.nmmo3.policy import Policy  # noqa: F401
+
+Recurrent = dict(input_size=256, hidden_size=256, num_layers=1)
+
 
 def env_creator(name='nmmo3'):
     return functools.partial(make, name)

@@ -509,6 +509,135 @@ def autotune(env_creator, env_args=None, env_kwargs=None, max_envs=64,
     return results
 
 
+class HostRay:
+    """Ray-actor envpool: each remote actor runs a HostSerial of
+    envs_per_worker envs (reference vector.py:449-574). batch_size <
+    num_envs enables env-pool mode via ray.wait on first-ready actors.
+
+    Requires ray (not in this image); raises ImportError at
+    construction with a clear message otherwise.
+    """
+
+    def __init__(self, env_creators, env_args=None, env_kwargs=None,
+            num_envs=1, num_workers=None, batch_size=None, **kwargs):
+        try:
+            import ray
+        except ImportError as e:
+            raise ImportError(
+                'HostRay requires ray, which is not installed in this '
+                'image; use HostMultiprocessing instead') from e
+        if not ray.is_initialized():
+            ray.init(include_dashboard=False, ignore_reinit_error=True)
+        self._ray = ray
+
+        num_workers = num_workers or num_envs
+        if num_envs % num_workers != 0:
+            raise APIUsageError('num_envs must be divisible by num_workers')
+        envs_per_worker = num_envs // num_workers
+        batch_size = batch_size or num_envs
+        if num_envs % batch_size != 0:
+            raise APIUsageError('num_envs must be divisible by batch_size')
+        self.workers_per_batch = batch_size // envs_per_worker
+        if self.workers_per_batch < 1:
+            raise APIUsageError('batch_size must be >= envs_per_worker')
+        self.envs_per_worker = envs_per_worker
+        self.num_workers = num_workers
+        self.batch_size = batch_size
+        self.env_pool = batch_size != num_envs
+
+        driver = _wrap(env_creators if not isinstance(
+            env_creators, (list, tuple)) else env_creators[0],
+            env_args, env_kwargs)
+        self.driver_env = driver
+        self.emulated = driver.emulated
+        self.agents_per_env = driver.num_agents
+        self.num_agents = num_envs * driver.num_agents
+        self.agents_per_worker = driver.num_agents * envs_per_worker
+        self.agents_per_batch = self.workers_per_batch \
+            * self.agents_per_worker
+        self.single_observation_space = driver.single_observation_space
+        self.single_action_space = driver.single_action_space
+        driver.close()
+
+        remote_serial = ray.remote(HostSerial)
+        self.workers = [remote_serial.remote(
+            env_creators, env_args, env_kwargs, num_envs=envs_per_worker)
+            for _ in range(num_workers)]
+        self.futures = None
+        self.prev_env_ids = list(range(self.workers_per_batch))
+        self.flag = RESET
+        self.initialized = False
+
+    def async_reset(self, seed=42):
+        self.flag = RECV
+        self.futures = [w.reset.remote(seed + i * self.envs_per_worker)
+            for i, w in enumerate(self.workers)]
+        self._pending_reset = True
+
+    def recv(self):
+        recv_precheck(self)
+        ray = self._ray
+        if self.env_pool and not self._pending_reset:
+            ready, _ = ray.wait(
+                self.futures, num_returns=self.workers_per_batch)
+            env_ids = [self.futures.index(f) for f in ready]
+            results = ray.get(ready)
+        else:
+            env_ids = list(range(self.workers_per_batch)) \
+                if not self._pending_reset else list(
+                    range(self.num_workers))[:self.workers_per_batch]
+            results = ray.get(
+                self.futures[:self.workers_per_batch])
+        self.prev_env_ids = env_ids
+
+        if self._pending_reset:
+            obs = np.concatenate([r[0] for r in results])
+            a = self.agents_per_batch
+            rew = np.zeros(a, np.float32)
+            term = np.zeros(a, bool)
+            trunc = np.zeros(a, bool)
+            infos = [r[1] for r in results if r[1]]
+        else:
+            obs = np.concatenate([r[0] for r in results])
+            rew = np.concatenate([r[1] for r in results])
+            term = np.concatenate([r[2] for r in results])
+            trunc = np.concatenate([r[3] for r in results])
+            infos = [i for r in results for i in (r[4] or [])]
+        agent_ids = np.concatenate([np.arange(
+            e * self.agents_per_worker, (e + 1) * self.agents_per_worker)
+            for e in env_ids])
+        mask = np.ones(self.agents_per_batch, bool)
+        return obs, rew, term, trunc, infos, agent_ids, mask
+
+    def send(self, actions):
+        send_precheck(self)
+        actions = np.asarray(actions)
+        self._pending_reset = False
+        per_worker = np.array_split(actions, self.workers_per_batch)
+        futures = list(self.futures) if self.futures else \
+            [None] * self.num_workers
+        for e, atns in zip(self.prev_env_ids, per_worker):
+            futures[e] = self.workers[e].step.remote(atns)
+        self.futures = futures
+
+    def reset(self, seed=42):
+        self.async_reset(seed)
+        obs, _, _, _, infos, _, _ = self.recv()
+        return obs, infos
+
+    def step(self, actions):
+        self.send(actions)
+        return self.recv()[:5]
+
+    def close(self):
+        for w in self.workers:
+            self._ray.kill(w)
+
+    @property
+    def num_envs(self):
+        return self.num_agents
+
+
 def make(env_creator, env_args=None, env_kwargs=None, backend=HostSerial,
         num_envs=1, num_workers=None, batch_size=None, seed=42, **kwargs):
     """Host vectorization factory (reference vector.py:577-637)."""
@@ -516,8 +645,8 @@ def make(env_creator, env_args=None, env_kwargs=None, backend=HostSerial,
         raise APIUsageError('num_envs must be at least 1')
     if batch_size is not None and num_envs % batch_size != 0:
         raise APIUsageError('num_envs must be divisible by batch_size')
-    if backend is HostMultiprocessing:
-        return HostMultiprocessing(env_creator, env_args, env_kwargs,
+    if backend in (HostMultiprocessing, HostRay):
+        return backend(env_creator, env_args, env_kwargs,
             num_envs=num_envs, num_workers=num_workers,
             batch_size=batch_size, **kwargs)
     return HostSerial(env_creator, env_args, env_kwargs,

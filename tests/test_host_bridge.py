@@ -125,3 +125,34 @@ def test_host_multiprocessing_matches_serial():
         assert np.array_equal(ts, tm)
     ser.close()
     mp.close()
+
+
+def test_host_ray_gated():
+    """HostRay mirrors the reference Ray backend (vector.py:449-574);
+    without ray installed it must raise a clear ImportError."""
+    try:
+        import ray  # noqa: F401
+        has_ray = True
+    except ImportError:
+        has_ray = False
+    if not has_ray:
+        import pytest
+        with pytest.raises(ImportError, match='ray'):
+            vector_host.make(DictObsEnv,
+                backend=vector_host.HostRay, num_envs=2, num_workers=2)
+        return
+    rv = vector_host.make(DictObsEnv,
+        backend=vector_host.HostRay, num_envs=2, num_workers=2)
+    ser = vector_host.make(DictObsEnv,
+        backend=vector_host.HostSerial, num_envs=2)
+    obs_s, _ = ser.reset(seed=0)
+    obs_r, _ = rv.reset(seed=0)
+    assert np.array_equal(obs_s, obs_r)
+    for _ in range(3):
+        actions = np.zeros((2, 2), np.int64)
+        os_, rs, *_ = ser.step(actions)
+        orr, rr, *_ = rv.step(actions)
+        assert np.array_equal(os_, orr)
+        assert np.array_equal(rs, rr)
+    ser.close()
+    rv.close()
