@@ -45,10 +45,18 @@ def main():
         backend=vector.Device, num_envs=num_envs)
     import jax.numpy as jnp
     dtype = jnp.dtype(os.environ.get('BENCH_DTYPE', 'bfloat16')).type
-    policy = Policy(Default(
-        obs_shape=vecenv.single_observation_space.shape,
+    use_rnn = os.environ.get('BENCH_RNN') == '1'
+    obs_shape = vecenv.single_observation_space.shape
+    module = Default(obs_shape=obs_shape,
         action_space=vecenv.single_action_space, hidden_size=hidden,
-        dtype=dtype))
+        dtype=dtype)
+    if use_rnn:
+        from pufferlib_tpu.models import LSTMWrapper, RecurrentPolicy
+        policy = RecurrentPolicy(LSTMWrapper(policy=module,
+            obs_shape=obs_shape, input_size=hidden, hidden_size=hidden,
+            dtype=dtype))
+    else:
+        policy = Policy(module)
     config = ppo.default_config(
         env='squared',
         batch_size=batch_size,
@@ -81,8 +89,10 @@ def main():
     epochs = reps * chunk
 
     sps = epochs * batch_size / elapsed
+    metric = 'ocean_squared_ppo_lstm_sps' if use_rnn \
+        else 'ocean_squared_ppo_sps'
     print(json.dumps({
-        'metric': 'ocean_squared_ppo_sps',
+        'metric': metric,
         'value': round(sps, 1),
         'unit': 'steps/s',
         'vs_baseline': round(sps / BASELINE_SPS, 4),

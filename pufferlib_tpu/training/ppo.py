@@ -392,8 +392,10 @@ def make_epoch_runner(policy, tx, config, seg_rows, num_minibatches, S):
             new_params = optax.apply_updates(
                 params, jax.tree.map(lambda u: -lr * u, updates))
 
-            new_params = select_tree(stop, params, new_params)
-            new_opt = select_tree(stop, opt_state, new_opt)
+            if has_target_kl:
+                # only pay the whole-tree select when early stop is on
+                new_params = select_tree(stop, params, new_params)
+                new_opt = select_tree(stop, opt_state, new_opt)
             return (new_params, new_opt, stop), stats
 
         # pre-stack the deterministic minibatch partition once: scan
