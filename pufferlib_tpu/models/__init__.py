@@ -124,6 +124,10 @@ class LSTMWrapper(nn.Module):
     hidden_size: int = 128
     num_layers: int = 1
     dtype: object = jnp.float32
+    # None = auto (Pallas fused time-scan kernel on TPU for T > 1).
+    # Set False when sharding the model over a mesh — GSPMD cannot
+    # auto-partition a pallas_call.
+    use_pallas: object = None
 
     @nn.compact
     def __call__(self, x, state=None):
@@ -161,25 +165,38 @@ class LSTMWrapper(nn.Module):
                 (H, 4 * H))
             b = self.param(f'b_l{layer}', nn.initializers.zeros, (4 * H,))
 
-            # One big MXU matmul for every timestep's input projection
-            x_proj = (layer_in.astype(self.dtype)
-                @ w_ih.astype(self.dtype)).astype(jnp.float32) + b
+            # One big MXU matmul for every timestep's input projection.
+            # Gate math runs in the compute dtype; the cell state c
+            # accumulates in f32 for stability across long horizons.
+            cdt = self.dtype
+            x_proj = (layer_in.astype(cdt) @ w_ih.astype(cdt)
+                ) + b.astype(cdt)  # (B, T, 4H) in compute dtype
 
-            def cell(carry, xt):
-                h, c = carry
-                gates = xt + (h.astype(self.dtype)
-                    @ w_hh.astype(self.dtype)).astype(jnp.float32)
-                i, f, g, o = jnp.split(gates, 4, axis=-1)
-                i, f, o = (jax.nn.sigmoid(i), jax.nn.sigmoid(f),
-                    jax.nn.sigmoid(o))
-                g = jnp.tanh(g)
-                c = f * c + i * g
-                h = o * jnp.tanh(c)
-                return (h, c), h
+            use_pallas = self.use_pallas
+            if use_pallas is None:
+                use_pallas = (jax.default_backend() == 'tpu' and T > 1
+                    and B % 8 == 0)
+            xp_t = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 4H)
+            if use_pallas:
+                from pufferlib_tpu.ops.pallas.lstm import lstm_scan
+                outs, h_fin, c_fin = lstm_scan(
+                    xp_t, h0[layer], c0[layer], w_hh, cdt)
+            else:
+                def cell(carry, xt):
+                    h, c = carry
+                    gates = (xt.astype(jnp.float32)
+                        + (h.astype(cdt) @ w_hh.astype(cdt)
+                        ).astype(jnp.float32))
+                    i, f, g, o = jnp.split(gates, 4, axis=-1)
+                    i, f, o = (jax.nn.sigmoid(i), jax.nn.sigmoid(f),
+                        jax.nn.sigmoid(o))
+                    g = jnp.tanh(g)
+                    c = f * c + i * g
+                    h = o * jnp.tanh(c)
+                    return (h, c), h
 
-            (h_fin, c_fin), outs = jax.lax.scan(
-                cell, (h0[layer], c0[layer]),
-                jnp.swapaxes(x_proj, 0, 1))  # scan over T
+                (h_fin, c_fin), outs = jax.lax.scan(
+                    cell, (h0[layer], c0[layer]), xp_t)  # scan over T
             layer_in = jnp.swapaxes(outs, 0, 1)  # (B, T, H)
             hs.append(h_fin)
             cs.append(c_fin)

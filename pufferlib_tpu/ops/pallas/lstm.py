@@ -1,0 +1,228 @@
+"""Fused LSTM time-scan as a Pallas TPU kernel with custom VJP.
+
+The BPTT hot loop (reference models.py:64-111 semantics) is a
+sequential scan of small matmuls + gate math. Under jax autodiff the
+scan saves every intermediate and the backward re-materializes them
+from HBM; this kernel keeps the whole (batch-tile x time) working set
+in VMEM, runs the h @ W_hh matmuls on the MXU in the compute dtype,
+and the backward RECOMPUTES the gate activations from the saved h/c
+sequences instead of storing them (FLOPs are cheaper than HBM).
+
+forward:  lstm_scan(x_proj, h0, c0, w_hh) -> (outs, hT, cT)
+  x_proj: (T, B, 4H) input projection (x @ W_ih + b, done outside —
+          it is one large batched MXU matmul already)
+  h0, c0: (B, H) initial state;  w_hh: (H, 4H)
+  outs:   (T, B, H) hidden states (h_1..h_T)
+
+Gate order matches torch.nn.LSTM: i, f, g, o.
+
+Grid: batch tiles; TPU grid steps run sequentially per core, so the
+backward accumulates dW_hh into one output block across tiles.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _gates(xp_t, h, w_hh, cdt):
+    gates = xp_t + jnp.dot(h.astype(cdt), w_hh,
+        preferred_element_type=jnp.float32)
+    H = h.shape[-1]
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H:2 * H])
+    g = jnp.tanh(gates[:, 2 * H:3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H:])
+    return i, f, g, o
+
+
+def _fwd_kernel(xp_ref, h0_ref, c0_ref, whh_ref, outs_ref, ht_ref,
+        ct_ref, cseq_ref, *, T, cdt):
+    w_hh = whh_ref[:].astype(cdt)
+
+    def body(t, carry):
+        h, c = carry
+        i, f, g, o = _gates(xp_ref[t].astype(jnp.float32), h, w_hh, cdt)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        outs_ref[t] = h
+        cseq_ref[t] = c
+        return (h, c)
+
+    h, c = jax.lax.fori_loop(0, T, body, (h0_ref[:], c0_ref[:]))
+    ht_ref[:] = h
+    ct_ref[:] = c
+
+
+def _bwd_kernel(xp_ref, h0_ref, c0_ref, whh_ref, outs_ref, cseq_ref,
+        g_outs_ref, g_ht_ref, g_ct_ref,
+        dxp_ref, dh0_ref, dc0_ref, dwhh_ref, *, T, cdt):
+    w_hh = whh_ref[:].astype(cdt)
+    b_idx = pl.program_id(0)
+
+    @pl.when(b_idx == 0)
+    def _():
+        dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
+
+    def body(k, carry):
+        t = T - 1 - k
+        dh, dc, dw = carry
+        h_prev = jnp.where(t == 0, h0_ref[:], outs_ref[pl.ds(
+            jnp.maximum(t - 1, 0), 1)][0])
+        c_prev = jnp.where(t == 0, c0_ref[:], cseq_ref[pl.ds(
+            jnp.maximum(t - 1, 0), 1)][0])
+        c_t = cseq_ref[t]
+
+        i, f, g, o = _gates(
+            xp_ref[t].astype(jnp.float32), h_prev, w_hh, cdt)
+
+        dh = dh + g_outs_ref[t]
+        tc = jnp.tanh(c_t)
+        do = dh * tc
+        dc = dc + dh * o * (1.0 - tc * tc)
+        di, dg = dc * g, dc * i
+        df = dc * c_prev
+        d_i = di * i * (1.0 - i)
+        d_f = df * f * (1.0 - f)
+        d_g = dg * (1.0 - g * g)
+        d_o = do * o * (1.0 - o)
+        dgates = jnp.concatenate([d_i, d_f, d_g, d_o], axis=-1)
+
+        dxp_ref[t] = dgates
+        dh_prev = jnp.dot(dgates.astype(cdt), w_hh.T,
+            preferred_element_type=jnp.float32)
+        dw = dw + jnp.dot(h_prev.astype(cdt).T, dgates.astype(cdt),
+            preferred_element_type=jnp.float32)
+        dc_prev = dc * f
+        return (dh_prev, dc_prev, dw)
+
+    dh0 = g_ht_ref[:]
+    dc0 = g_ct_ref[:]
+    dw0 = jnp.zeros_like(dwhh_ref)
+    dh, dc, dw = jax.lax.fori_loop(0, T, body, (dh0, dc0, dw0))
+    dh0_ref[:] = dh
+    dc0_ref[:] = dc
+    dwhh_ref[:] += dw
+
+
+def _tile(B, prefer=128):
+    # the batch tile bounds VMEM residency: (T, bt, 4H) x_proj blocks
+    # dominate. 128 fits the forward; the backward carries ~2x the
+    # blocks (incoming grads + dx_proj) so it tiles at 64.
+    for bt in (prefer, 64, 32, 16, 8):
+        if bt <= prefer and B % bt == 0:
+            return bt
+    return None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def lstm_scan(x_proj, h0, c0, w_hh, cdt=jnp.bfloat16):
+    outs, hT, cT, _ = _lstm_fwd_impl(x_proj, h0, c0, w_hh, cdt)
+    return outs, hT, cT
+
+
+def _lstm_fwd_impl(x_proj, h0, c0, w_hh, cdt):
+    T, B, H4 = x_proj.shape
+    H = H4 // 4
+    bt = _tile(B)
+    assert bt is not None, f'batch {B} not tileable'
+    grid = (B // bt,)
+    kernel = functools.partial(_fwd_kernel, T=T, cdt=cdt)
+    outs, hT, cT, cseq = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((T, bt, H4), lambda b: (0, b, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, H), lambda b: (b, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, H), lambda b: (b, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda b: (0, 0),
+                memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((T, bt, H), lambda b: (0, b, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, H), lambda b: (b, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, H), lambda b: (b, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, bt, H), lambda b: (0, b, 0),
+                memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+        ],
+    )(x_proj, h0, c0, w_hh)
+    return outs, hT, cT, cseq
+
+
+def _lstm_scan_fwd(x_proj, h0, c0, w_hh, cdt):
+    outs, hT, cT, cseq = _lstm_fwd_impl(x_proj, h0, c0, w_hh, cdt)
+    return (outs, hT, cT), (x_proj, h0, c0, w_hh, outs, cseq)
+
+
+def _lstm_scan_bwd(cdt, residuals, grads):
+    x_proj, h0, c0, w_hh, outs, cseq = residuals
+    g_outs, g_hT, g_cT = grads
+    T, B, H4 = x_proj.shape
+    H = H4 // 4
+    bt = _tile(B, prefer=64)
+    grid = (B // bt,)
+    kernel = functools.partial(_bwd_kernel, T=T, cdt=cdt)
+    vm = pltpu.VMEM
+    dxp, dh0, dc0, dwhh = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((T, bt, H4), lambda b: (0, b, 0), memory_space=vm),
+            pl.BlockSpec((bt, H), lambda b: (b, 0), memory_space=vm),
+            pl.BlockSpec((bt, H), lambda b: (b, 0), memory_space=vm),
+            pl.BlockSpec((H, H4), lambda b: (0, 0), memory_space=vm),
+            pl.BlockSpec((T, bt, H), lambda b: (0, b, 0), memory_space=vm),
+            pl.BlockSpec((T, bt, H), lambda b: (0, b, 0), memory_space=vm),
+            pl.BlockSpec((T, bt, H), lambda b: (0, b, 0), memory_space=vm),
+            pl.BlockSpec((bt, H), lambda b: (b, 0), memory_space=vm),
+            pl.BlockSpec((bt, H), lambda b: (b, 0), memory_space=vm),
+        ],
+        out_specs=[
+            pl.BlockSpec((T, bt, H4), lambda b: (0, b, 0), memory_space=vm),
+            pl.BlockSpec((bt, H), lambda b: (b, 0), memory_space=vm),
+            pl.BlockSpec((bt, H), lambda b: (b, 0), memory_space=vm),
+            pl.BlockSpec((H, H4), lambda b: (0, 0), memory_space=vm),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H4), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((H, H4), jnp.float32),
+        ],
+    )(x_proj, h0, c0, w_hh, outs, cseq, g_outs, g_hT, g_cT)
+    return dxp.astype(x_proj.dtype), dh0, dc0, dwhh.astype(w_hh.dtype)
+
+
+lstm_scan.defvjp(_lstm_scan_fwd, _lstm_scan_bwd)
+
+
+def lstm_scan_reference(x_proj, h0, c0, w_hh, cdt=jnp.float32):
+    """Pure-JAX reference with identical semantics (for tests/fallback)."""
+    def cell(carry, xt):
+        h, c = carry
+        gates = xt.astype(jnp.float32) + (
+            h.astype(cdt) @ w_hh.astype(cdt)).astype(jnp.float32)
+        H = h.shape[-1]
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H:2 * H])
+        g = jnp.tanh(gates[:, 2 * H:3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H:])
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+    (hT, cT), outs = jax.lax.scan(cell, (h0, c0), x_proj)
+    return outs, hT, cT

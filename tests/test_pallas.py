@@ -31,3 +31,40 @@ def test_pallas_gae_all_done():
     got = np.asarray(compute_gae_pallas(
         rewards, values, dones, last_value, 0.99, 0.95, interpret=True))
     assert np.allclose(got, 1.0)
+
+
+def test_pallas_lstm_scan_matches_reference():
+    """Fused LSTM time-scan kernel (ops/pallas/lstm.py): forward and
+    custom-VJP backward match the pure-JAX scan (interpret mode on CPU)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from pufferlib_tpu.ops.pallas.lstm import lstm_scan, lstm_scan_reference
+
+    T, B, H = 3, 16, 128
+    k = jax.random.split(jax.random.PRNGKey(0), 4)
+    xp = jax.random.normal(k[0], (T, B, 4 * H), jnp.float32) * 0.5
+    h0 = jax.random.normal(k[1], (B, H), jnp.float32) * 0.1
+    c0 = jax.random.normal(k[2], (B, H), jnp.float32) * 0.1
+    whh = jax.random.normal(k[3], (H, 4 * H), jnp.float32) * 0.1
+
+    with pltpu.force_tpu_interpret_mode():
+        outs_p, hT_p, cT_p = lstm_scan(xp, h0, c0, whh, jnp.float32)
+    outs_r, hT_r, cT_r = lstm_scan_reference(xp, h0, c0, whh, jnp.float32)
+    assert jnp.allclose(outs_p, outs_r, atol=1e-5)
+    assert jnp.allclose(hT_p, hT_r, atol=1e-5)
+    assert jnp.allclose(cT_p, cT_r, atol=1e-5)
+
+    def loss_p(xp, h0, c0, whh):
+        o, h, c = lstm_scan(xp, h0, c0, whh, jnp.float32)
+        return jnp.sum(o ** 2) + jnp.sum(h * c)
+
+    def loss_r(xp, h0, c0, whh):
+        o, h, c = lstm_scan_reference(xp, h0, c0, whh, jnp.float32)
+        return jnp.sum(o ** 2) + jnp.sum(h * c)
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(xp, h0, c0, whh)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(xp, h0, c0, whh)
+    for a, b in zip(gp, gr):
+        assert jnp.allclose(a, b, atol=5e-4), float(jnp.abs(a - b).max())
