@@ -241,6 +241,22 @@ def nativize_tensor(observation, native_dtype):
 
     if isinstance(native_dtype, tuple):
         dtype, shape, offset, delta = native_dtype
+        dtype = np.dtype(dtype)
+        import jax
+        if dtype.itemsize == 8 and not jax.config.jax_enable_x64:
+            # 64-bit leaves without x64 mode: reconstruct from the low
+            # 32-bit word (little-endian). Values must fit 32 bits —
+            # true for the NetHack/NMMO-class spaces that use i64.
+            if dtype.kind not in 'iu':
+                raise ValueError(
+                    f'float64 obs leaf requires jax_enable_x64 ({dtype})')
+            dtype32 = np.dtype('int32' if dtype.kind == 'i' else 'uint32')
+            chunk = lax.slice_in_dim(
+                observation, offset, offset + delta, axis=1)
+            n = delta // 8
+            chunk = chunk.reshape(observation.shape[0], n, 2, 4)
+            chunk = lax.bitcast_convert_type(chunk, jnp.dtype(dtype32))
+            return chunk[..., 0].reshape(observation.shape[0], *shape)
         chunk = lax.slice_in_dim(observation, offset, offset + delta, axis=1)
         if observation.dtype.itemsize == 1 and dtype.itemsize != 1:
             # bytes -> typed: group trailing bytes then bitcast away the

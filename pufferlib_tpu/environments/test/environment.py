@@ -52,6 +52,77 @@ MOCK_OBSERVATION_SPACES = {
         'entity': spaces.Box(low=-2**15, high=2**15 - 1, shape=(10, 23),
             dtype=np.int16),
     }),
+    # atari: framestacked screen (reference test/environment.py:23)
+    'atari': spaces.Box(low=0, high=255, shape=(4, 84, 84),
+        dtype=np.uint8),
+    # bare Discrete observation (reference :88)
+    'discrete_obs': spaces.Discrete(5),
+    # full NetHack observation (reference :26-41)
+    'nethack_full': spaces.Dict({
+        'blstats': spaces.Box(low=-2**31, high=2**31 - 1, shape=(27,),
+            dtype=np.int64),
+        'chars': spaces.Box(low=0, high=255, shape=(21, 79),
+            dtype=np.uint8),
+        'colors': spaces.Box(low=0, high=15, shape=(21, 79),
+            dtype=np.uint8),
+        'glyphs': spaces.Box(low=0, high=5976, shape=(21, 79),
+            dtype=np.int16),
+        'inv_glyphs': spaces.Box(low=0, high=5976, shape=(55,),
+            dtype=np.int16),
+        'inv_letters': spaces.Box(low=0, high=127, shape=(55,),
+            dtype=np.uint8),
+        'inv_oclasses': spaces.Box(low=0, high=18, shape=(55,),
+            dtype=np.uint8),
+        'message': spaces.Box(low=0, high=255, shape=(256,),
+            dtype=np.uint8),
+        'tty_chars': spaces.Box(low=0, high=255, shape=(24, 80),
+            dtype=np.uint8),
+        'tty_colors': spaces.Box(low=0, high=31, shape=(24, 80),
+            dtype=np.int8),
+        'tty_cursor': spaces.Box(low=0, high=255, shape=(2,),
+            dtype=np.uint8),
+    }),
+    # NMMO-scale: nested ActionTargets + Discrete + float16 leaves
+    # (reference :44-86)
+    'nmmo_full': spaces.Dict({
+        'ActionTargets': spaces.Dict({
+            'Attack': spaces.Dict({
+                'Style': spaces.Box(low=0, high=1, shape=(3,),
+                    dtype=np.int8),
+                'Target': spaces.Box(low=0, high=1, shape=(100,),
+                    dtype=np.int8),
+            }),
+            'Move': spaces.Dict({
+                'Direction': spaces.Box(low=0, high=1, shape=(5,),
+                    dtype=np.int8),
+            }),
+            'Sell': spaces.Dict({
+                'InventoryItem': spaces.Box(low=0, high=1, shape=(12,),
+                    dtype=np.int8),
+                'Price': spaces.Box(low=0, high=1, shape=(99,),
+                    dtype=np.int8),
+            }),
+        }),
+        'AgentId': spaces.Discrete(129),
+        'CurrentTick': spaces.Discrete(1025),
+        'Entity': spaces.Box(low=-2**15, high=2**15 - 1, shape=(100, 23),
+            dtype=np.int16),
+        'Task': spaces.Box(low=-32770.0, high=32770.0, shape=(1024,),
+            dtype=np.float16),
+        'Tile': spaces.Box(low=-2**15, high=2**15 - 1, shape=(225, 3),
+            dtype=np.int16),
+    }),
+    # Dict of Tuple / Dict mix (reference :107-116)
+    'dict_of_tuple': spaces.Dict({
+        'foo': spaces.Tuple([
+            spaces.Box(low=-1, high=1, shape=(2,), dtype=np.float32),
+            spaces.Discrete(3),
+        ]),
+        'bar': spaces.Dict({
+            'baz': spaces.Discrete(2),
+            'qux': spaces.Discrete(4),
+        }),
+    }),
 }
 
 MOCK_ACTION_SPACES = {
@@ -63,6 +134,27 @@ MOCK_ACTION_SPACES = {
     }),
     'tuple_discrete': spaces.Tuple([
         spaces.Discrete(2), spaces.Discrete(6),
+    ]),
+    # NMMO-scale nested action dict (reference :121-152)
+    'nmmo_actions': spaces.Dict({
+        'Attack': spaces.Dict({
+            'Style': spaces.Discrete(3),
+            'Target': spaces.Discrete(100),
+        }),
+        'Buy': spaces.Dict({'MarketItem': spaces.Discrete(1024)}),
+        'Move': spaces.Dict({'Direction': spaces.Discrete(5)}),
+        'Sell': spaces.Dict({
+            'InventoryItem': spaces.Discrete(12),
+            'Price': spaces.Discrete(99),
+        }),
+    }),
+    # deep Tuple(Dict) nesting (reference :159-166)
+    'tuple_dict': spaces.Tuple([
+        spaces.Discrete(4),
+        spaces.Dict({
+            'baz': spaces.Discrete(2),
+            'qux': spaces.Discrete(2),
+        }),
     ]),
 }
 
