@@ -34,20 +34,52 @@ def init_wandb(args, resume=True):
     return wandb
 
 
+def _is_host_creator(creator, env_kwargs):
+    """True when the creator yields an external (host CPU) env rather
+    than a jax-native PufferEnv: host envs train through vector_host +
+    ppo_host, device envs through the fused on-device trainer."""
+    from pufferlib_tpu.host_env import (
+        GymnasiumPufferEnv, PettingZooPufferEnv)
+    probe = creator(**env_kwargs)
+    is_host = isinstance(probe, (GymnasiumPufferEnv, PettingZooPufferEnv))
+    if hasattr(probe, 'close'):
+        probe.close()
+    return is_host
+
+
 def make_vecenv(args, creator, backend_name=None, num_envs=None):
+    env_kwargs = dict(args.env_kwargs)
+    num_envs = num_envs or args.train.num_envs
+    name = backend_name or args.vec
+    if _is_host_creator(creator, env_kwargs):
+        import pufferlib_tpu.vector_host as vector_host
+        backend = {
+            'device': vector_host.HostMultiprocessing,
+            'serial': vector_host.HostSerial,
+            'multiprocessing': vector_host.HostMultiprocessing,
+        }[name]
+        kwargs = {}
+        if backend is vector_host.HostMultiprocessing:
+            kwargs = dict(
+                num_workers=args.train.get('num_workers') or num_envs,
+                batch_size=args.train.get('env_batch_size'))
+        return vector_host.make(creator, env_kwargs=env_kwargs,
+            backend=backend, num_envs=num_envs, **kwargs)
     import pufferlib_tpu.vector as vector
     backend = {
         'device': vector.Device,
         'serial': vector.Serial,
         'multiprocessing': vector.Device,  # device engine subsumes MP
-    }[backend_name or args.vec]
-    return vector.make(creator, env_kwargs=dict(args.env_kwargs),
-        backend=backend, num_envs=num_envs or args.train.num_envs)
+    }[name]
+    return vector.make(creator, env_kwargs=env_kwargs,
+        backend=backend, num_envs=num_envs)
 
 
 def train(args, env_module, creator):
+    import pufferlib_tpu.vector_host as vector_host
     from pufferlib_tpu.config.cli import make_policy
-    from pufferlib_tpu.training import ppo
+    from pufferlib_tpu.training import ppo as ppo_device
+    from pufferlib_tpu.training import ppo_host
     from pufferlib_tpu.training.dashboard import (
         Utilization, make_dashboard_hook)
 
@@ -55,8 +87,13 @@ def train(args, env_module, creator):
     vecenv = make_vecenv(args, creator)
     policy = make_policy(vecenv, env_module, args)
 
+    host = isinstance(vecenv, (vector_host.HostSerial,
+        vector_host.HostMultiprocessing, vector_host.HostRay))
+    ppo = ppo_host if host else ppo_device
+
     train_cfg = dict(args.train)
-    train_cfg.pop('num_envs', None)
+    for k in ('num_envs', 'num_workers', 'env_batch_size'):
+        train_cfg.pop(k, None)
     config = ppo.default_config(env=args.env, exp_id=args.exp_id,
         **train_cfg)
     data = ppo.create(config, vecenv, policy, wandb=wandb)

@@ -1,0 +1,67 @@
+"""demo.py routing: device-native creators go through vector.Device /
+the fused trainer; external host envs through vector_host + ppo_host
+(reference demo.py wires everything through one vector.make)."""
+import numpy as np
+
+import demo
+from pufferlib_tpu import vector, vector_host
+from pufferlib_tpu.namespace import namespace
+from pufferlib_tpu.ocean import env_creator
+
+
+class _TinyGym:
+    """Minimal gymnasium-style host env."""
+
+    def __init__(self):
+        import gymnasium
+        self.observation_space = gymnasium.spaces.Box(
+            low=0, high=1, shape=(3,), dtype=np.float32)
+        self.action_space = gymnasium.spaces.Discrete(2)
+        self.render_mode = None
+        self._t = 0
+
+    def reset(self, seed=None, options=None):
+        self._t = 0
+        return np.zeros(3, np.float32), {}
+
+    def step(self, action):
+        self._t += 1
+        return (np.full(3, self._t, np.float32), 1.0, self._t >= 4,
+            False, {})
+
+    def close(self):
+        pass
+
+
+def _host_creator():
+    from pufferlib_tpu.host_env import GymnasiumPufferEnv
+    return GymnasiumPufferEnv(env=_TinyGym())
+
+
+def _args(vec='serial', num_envs=2):
+    return namespace(vec=vec, env_kwargs=namespace(),
+        train=namespace(num_envs=num_envs))
+
+
+def test_demo_routes_device_creator():
+    vecenv = demo.make_vecenv(_args('device'), env_creator('squared'))
+    assert isinstance(vecenv, vector.Device)
+    vecenv.close()
+
+
+def test_demo_routes_host_creator_serial():
+    vecenv = demo.make_vecenv(_args('serial'), _host_creator)
+    assert isinstance(vecenv, vector_host.HostSerial)
+    obs, _ = vecenv.reset(seed=0)
+    assert obs.shape == (2, 3)
+    vecenv.close()
+
+
+def test_demo_routes_host_creator_multiprocessing():
+    vecenv = demo.make_vecenv(_args('multiprocessing'), _host_creator)
+    assert isinstance(vecenv, vector_host.HostMultiprocessing)
+    obs, _ = vecenv.reset(seed=0)
+    assert obs.shape == (2, 3)
+    obs, rew, term, trunc, _ = vecenv.step(np.zeros(2, np.int64))
+    assert rew.sum() == 2.0
+    vecenv.close()
