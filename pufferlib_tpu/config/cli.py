@@ -164,6 +164,8 @@ def make_policy(vecenv, env_module, args):
         module = policy_cls(obs_shape=obs_shape, action_space=atn_space,
             **policy_kwargs)
     else:
+        policy_kwargs.setdefault('emulated', getattr(
+            vecenv, 'emulated', None))
         module = Default(obs_shape=obs_shape, action_space=atn_space,
             **policy_kwargs)
 

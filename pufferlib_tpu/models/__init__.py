@@ -71,6 +71,12 @@ class Default(nn.Module):
     action_space: object
     hidden_size: int = 128
     dtype: object = jnp.float32
+    # emulated-space metadata (vecenv.emulated). When set, byte-packed
+    # structured observations are nativized at trace time (free
+    # bitcast/slice under XLA) so the MLP sees true typed values
+    # instead of raw uint8 bytes — reference Default feeds bytes
+    # (models.py:12-62), which conditions terribly for mixed dtypes.
+    emulated: object = None
 
     def setup(self):
         self.encoder = layer_init_dense(self.hidden_size, name='encoder',
@@ -88,7 +94,17 @@ class Default(nn.Module):
 
     def encode_observations(self, observations):
         batch = observations.shape[0]
-        x = observations.reshape(batch, -1).astype(self.dtype)
+        x = observations.reshape(batch, -1)
+        if self.emulated is not None and np.dtype(
+                self.emulated.emulated_observation_dtype).names is not None:
+            from pufferlib_tpu import emulation
+            spec = emulation.nativize_dtype(self.emulated)
+            leaves = jax.tree.leaves(emulation.nativize_tensor(x, spec))
+            x = jnp.concatenate(
+                [leaf.reshape(batch, -1).astype(self.dtype)
+                    for leaf in leaves], axis=1)
+        else:
+            x = x.astype(self.dtype)
         return jax.nn.relu(self.encoder(x)), None
 
     def decode_actions(self, hidden, lookup=None):
