@@ -101,15 +101,18 @@ class Memory(PufferEnv):
         in_show = tick < self.mem_length
         in_recall = tick >= self.mem_length + self.mem_delay
 
-        ob = jnp.where(in_show, solution[tick], 0.0)
+        # iota compares instead of dynamic index/scatter: under vmap
+        # the gather/scatter serialize on TPU, the masks fuse
+        iota = jnp.arange(self.horizon)
+        tick_mask = iota == tick
+        ob = jnp.where(in_show, jnp.sum(solution * tick_mask), 0.0)
         idx = jnp.clip(tick - self.mem_length - self.mem_delay, 0,
             self.horizon - 1)
-        sol = solution[idx]
+        sol = jnp.sum(solution * (iota == idx))
         reward = jnp.where(in_show, (action == 0).astype(jnp.float32), 0.0)
         reward = jnp.where(in_recall, (action == sol).astype(jnp.float32),
             reward)
-        submission = jnp.where(in_recall,
-            submission.at[tick].set(action), submission)
+        submission = jnp.where(in_recall & tick_mask, action, submission)
 
         tick = tick + 1
         terminal = tick == self.horizon
@@ -173,8 +176,9 @@ class Password(PufferEnv):
         return dict(observation=obs, tick=jnp.int32(0)), obs
 
     def step(self, state, action, key):
-        obs = state['observation'].at[state['tick']].set(
-            jnp.asarray(action, jnp.float32))
+        mask = jnp.arange(self.password_length) == state['tick']
+        obs = jnp.where(mask, jnp.asarray(action, jnp.float32),
+            state['observation'])
         tick = state['tick'] + 1
         terminal = tick == self.password_length
         solved = jnp.all(obs == self.solution).astype(jnp.float32)

@@ -23,6 +23,7 @@ Fidelity notes:
 - target_kl early stop is a carried flag that masks subsequent updates
   (lax-friendly analog of the reference's `break`, clean_pufferl.py:256).
 """
+import functools
 import os
 import time
 import uuid
@@ -141,13 +142,9 @@ def create(config, vecenv, policy, wandb=None, mesh=None):
     tx = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-5)
     opt_state = tx.init(params)
 
-    if mesh is not None and config.get('pallas_gae') is None:
-        # GSPMD cannot auto-partition a pallas_call; the scan GAE shards
-        config['pallas_gae'] = False
-
     rollout_raw = make_rollout_fn(policy, step_batch, config, T)
     update_raw = make_update_fn(policy, tx, config, T, total_agents,
-        num_minibatches, seg_rows)
+        num_minibatches, seg_rows, mesh=mesh)
 
     carry = dict(
         env=env_states,
@@ -430,7 +427,7 @@ def make_epoch_runner(policy, tx, config, seg_rows, num_minibatches, S):
 
 
 def make_update_fn(policy, tx, config, T, total_agents, num_minibatches,
-        seg_rows):
+        seg_rows, mesh=None):
     """One jitted program: GAE + update_epochs x minibatch PPO."""
     recurrent = isinstance(policy, RecurrentPolicy)
     h = config.bptt_horizon
@@ -454,16 +451,28 @@ def make_update_fn(policy, tx, config, T, total_agents, num_minibatches,
     if use_pallas_gae is None:
         use_pallas_gae = jax.devices()[0].platform == 'tpu'
 
-    def update(params, opt_state, batch, key, lr):
-        if use_pallas_gae:
-            from pufferlib_tpu.ops.pallas import compute_gae_pallas
-            advantages = compute_gae_pallas(batch['reward'],
-                batch['value'], batch['done'], batch['last_value'],
+    def gae_fn(reward, value, done, last_value):
+        if not use_pallas_gae:
+            return compute_gae(reward, value, done, last_value,
                 config.gamma, config.gae_lambda)
-        else:
-            advantages = compute_gae(batch['reward'], batch['value'],
-                batch['done'], batch['last_value'], config.gamma,
-                config.gae_lambda)
+        from pufferlib_tpu.ops.pallas import compute_gae_pallas
+        kernel = functools.partial(compute_gae_pallas,
+            gamma=config.gamma, gae_lambda=config.gae_lambda)
+        if mesh is None:
+            return kernel(reward, value, done, last_value)
+        # GSPMD cannot auto-partition a pallas_call; GAE is independent
+        # per env lane, so shard_map it over the env axis — each shard
+        # runs the kernel on its local lanes, no collectives
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        tn = P(None, 'env')
+        return shard_map(kernel, mesh=mesh,
+            in_specs=(tn, tn, tn, P('env')), out_specs=tn,
+            check_rep=False)(reward, value, done, last_value)
+
+    def update(params, opt_state, batch, key, lr):
+        advantages = gae_fn(batch['reward'], batch['value'],
+            batch['done'], batch['last_value'])
         returns = advantages + batch['value']
 
         seg_batch = dict(
