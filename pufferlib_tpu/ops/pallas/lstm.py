@@ -90,7 +90,7 @@ def _bwd_kernel(xp_ref, h0_ref, c0_ref, whh_ref, outs_ref, cseq_ref,
         d_o = do * o * (1.0 - o)
         dgates = jnp.concatenate([d_i, d_f, d_g, d_o], axis=-1)
 
-        dxp_ref[t] = dgates
+        dxp_ref[t] = dgates.astype(dxp_ref.dtype)
         dh_prev = jnp.dot(dgates.astype(cdt), w_hh.T,
             preferred_element_type=jnp.float32)
         dw = dw + jnp.dot(h_prev.astype(cdt).T, dgates.astype(cdt),
@@ -173,7 +173,9 @@ def _lstm_scan_bwd(cdt, residuals, grads):
     g_outs, g_hT, g_cT = grads
     T, B, H4 = x_proj.shape
     H = H4 // 4
-    bt = _tile(B, prefer=64)
+    # dx_proj streams out in the x_proj dtype (bf16 in mixed precision)
+    # which halves the block and lets the backward tile at 128 too
+    bt = _tile(B, prefer=128 if x_proj.dtype == jnp.bfloat16 else 64)
     grid = (B // bt,)
     kernel = functools.partial(_bwd_kernel, T=T, cdt=cdt)
     vm = pltpu.VMEM
@@ -198,13 +200,13 @@ def _lstm_scan_bwd(cdt, residuals, grads):
             pl.BlockSpec((H, H4), lambda b: (0, 0), memory_space=vm),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, H4), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H4), x_proj.dtype),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
             jax.ShapeDtypeStruct((H, H4), jnp.float32),
         ],
     )(x_proj, h0, c0, w_hh, outs, cseq, g_outs, g_hT, g_cT)
-    return dxp.astype(x_proj.dtype), dh0, dc0, dwhh.astype(w_hh.dtype)
+    return dxp, dh0, dc0, dwhh.astype(w_hh.dtype)
 
 
 lstm_scan.defvjp(_lstm_scan_fwd, _lstm_scan_bwd)
