@@ -64,3 +64,36 @@ def test_pettingzoo_tictactoe_bridge():
     assert set(obs.keys()) == set(env.possible_agents)
     first = env.possible_agents[0]
     assert obs[first].ndim == 1  # flattened Dict space
+
+
+def test_dm_control_adapter():
+    """Real dm_control suite env through our dm_env->gymnasium adapter
+    (Dict obs -> flat f64, continuous actions -> MultiDiscrete bins)."""
+    pytest.importorskip('dm_control')
+    from pufferlib_tpu.environments import dm_control as dmc
+
+    env = dmc.env_creator('walker_walk')()
+    obs, _ = env.reset(seed=0)
+    assert obs.ndim == 1  # flattened Dict of f64 leaves
+    nvec = env.action_space.nvec
+    total = 0.0
+    for _ in range(5):
+        a = np.random.randint(0, nvec[0], len(nvec)).astype(np.int64)
+        obs, r, term, trunc, info = env.step(a)
+        total += r
+    assert np.isfinite(total)
+    env.close()
+
+
+def test_dm_control_host_vectorized():
+    pytest.importorskip('dm_control')
+    from pufferlib_tpu.environments import dm_control as dmc
+
+    v = vector_host.make(dmc.env_creator('cartpole-balance'),
+        backend=vector_host.HostSerial, num_envs=2)
+    obs, _ = v.reset(seed=0)
+    assert obs.shape[0] == 2
+    acts = np.zeros((2, len(v.single_action_space.nvec)), np.int64)
+    obs, rew, term, trunc, _ = v.step(acts)
+    assert np.isfinite(rew).all()
+    v.close()
