@@ -206,11 +206,22 @@ def autotune(args, env_module, creator, time_per_config=5.0):
 
 
 def profile(args, env_module, creator):
+    """cProfile over a short train (reference demo.py:278-284), plus an
+    XLA device trace when PUFFER_TRACE_DIR is set (the TPU-side analog:
+    view with tensorboard or xprof)."""
     import cProfile
     import pstats
     args.train['total_timesteps'] = args.train['batch_size'] * 4
-    with cProfile.Profile() as pr:
-        train(args, env_module, creator)
+    trace_dir = os.environ.get('PUFFER_TRACE_DIR')
+    if trace_dir:
+        import jax
+        with jax.profiler.trace(trace_dir):
+            with cProfile.Profile() as pr:
+                train(args, env_module, creator)
+        print(f'device trace written to {trace_dir}')
+    else:
+        with cProfile.Profile() as pr:
+            train(args, env_module, creator)
     stats = pstats.Stats(pr)
     stats.sort_stats('cumulative').print_stats(10)
 
