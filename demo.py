@@ -260,6 +260,40 @@ def sweep(args, env_module, creator):
     metric = sweep_cfg.get('metric', 'score')
     num_runs = int(sweep_cfg.get('num_runs', 10))
 
+    if args.track:
+        # wandb-managed sweep (reference demo.py:132-151)
+        import wandb
+
+        def to_wandb_spec(spec):
+            dist = spec.get('distribution', 'uniform')
+            if 'values' in spec:
+                return {'values': spec['values']}
+            return {'distribution': dist.replace('log_uniform',
+                'log_uniform_values'), 'min': spec['min'],
+                'max': spec['max']}
+
+        sweep_id = wandb.sweep(sweep={
+            'method': sweep_cfg.get('method', 'random'),
+            'name': f'sweep-{args.env}',
+            'metric': {'goal': 'maximize',
+                'name': f'environment/{metric}'},
+            'parameters': {k: to_wandb_spec(v) for k, v in space.items()},
+        }, project=args.wandb_project)
+
+        def run_once():
+            try:
+                wandb.init()
+                for k, v in dict(wandb.config).items():
+                    args.train[k] = v
+                args.exp_id = None
+                train(args, env_module, creator)
+            except Exception:
+                import traceback
+                traceback.print_exc()
+
+        wandb.agent(sweep_id, run_once, count=num_runs)
+        return []
+
     rng = np.random.RandomState(0)
     results = []
     for i in range(num_runs):
