@@ -107,8 +107,15 @@ def train(args, env_module, creator):
 
     try:
         while data.global_step < config.total_timesteps:
-            ppo.evaluate(data)
-            ppo.train(data)
+            if host:
+                # host envs: async envpool rollout then update
+                ppo.evaluate(data)
+                ppo.train(data)
+            else:
+                # device envs: ONE dispatch per epoch; metrics are
+                # materialized lazily at the dashboard interval, so the
+                # host never stalls the accelerator
+                ppo.step(data)
     except KeyboardInterrupt:
         print('\nInterrupted; saving checkpoint')
         ckpt.save_checkpoint(data)
