@@ -1,6 +1,11 @@
 from pufferlib_tpu.parallel.mesh import (
     make_mesh, replicated, env_sharded, carry_shardings, batch_shardings,
 )
+from pufferlib_tpu.parallel.multihost import (
+    global_mesh, host_sharded_batch, init_distributed,
+    process_local_slice,
+)
 
 __all__ = ['make_mesh', 'replicated', 'env_sharded', 'carry_shardings',
-    'batch_shardings']
+    'batch_shardings', 'global_mesh', 'host_sharded_batch',
+    'init_distributed', 'process_local_slice']

@@ -64,3 +64,22 @@ def test_mesh_matches_single_device():
             jax.tree.leaves(d_single.params)):
         assert np.allclose(np.asarray(a), np.asarray(b),
             rtol=1e-4, atol=1e-5)
+
+
+def test_host_sharded_batch_single_process():
+    """make_array_from_process_local_data path: per-host rows become a
+    globally sharded array (single-process degenerate case here; the
+    same call shards across processes on a pod)."""
+    import numpy as np
+    from pufferlib_tpu.parallel import global_mesh, host_sharded_batch
+
+    mesh = global_mesh()
+    n = len(jax.devices())
+    local = {
+        'obs': np.arange(n * 4 * 3, dtype=np.float32).reshape(n * 4, 3),
+        'rew': np.ones(n * 4, np.float32),
+    }
+    arr = host_sharded_batch(local, mesh)
+    assert arr['obs'].shape == (n * 4, 3)
+    assert len(arr['obs'].sharding.device_set) == n
+    assert np.allclose(np.asarray(arr['obs']), local['obs'])
