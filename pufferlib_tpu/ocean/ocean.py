@@ -415,8 +415,10 @@ class Squared(PufferEnv):
         return Step(new_state, obs, reward, done, jnp.bool_(False), info)
 
     def render(self, state):
+        grid = np.asarray(self._obs(
+            jnp.asarray(state['chosen']), jnp.asarray(state['agent_pos'])))
         chars = []
-        for row in np.asarray(state['grid']):
+        for row in grid:
             for val in row:
                 if val == 1:
                     c = 94

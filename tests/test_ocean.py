@@ -187,3 +187,16 @@ def test_episode_stats_wrapper():
     assert bool(s.info['_valid'])
     assert float(s.info['episode_return']) == pytest.approx(total)
     assert int(s.info['episode_length']) == 3
+
+
+def test_render_all_ocean_envs():
+    """render(state) returns ANSI text for a fresh state in every env
+    that defines it (reference tests/test_render.py contract)."""
+    for name, ctor in [
+            ('squared', lambda: ocean.Squared(2, 3)),
+            ('memory', lambda: ocean.Memory(2, 1)),
+            ('password', lambda: ocean.Password(5))]:
+        env = ctor()
+        state, obs = env.reset(KEY)
+        out = env.render(state)
+        assert isinstance(out, str) and len(out) > 0, name
