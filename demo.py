@@ -167,42 +167,48 @@ def evaluate(args, env_module, creator):
         time.sleep(0.3)
 
 
-def autotune(args, env_module, creator, time_per_config=5.0):
-    """Find the num_envs that maximizes on-device rollout SPS — the
-    analog of reference vector.autotune (vector.py:669-854), which tuned
-    workers/batch for the process pool. On TPU the knob is lane count."""
-    import jax
+def autotune(args, env_module, creator, epochs=8):
+    """Find the num_envs that maximizes end-to-end fused-trainer SPS —
+    the analog of reference vector.autotune (vector.py:669-854), which
+    tuned workers/batch for the process pool. On TPU the knob is lane
+    count; timing uses the honest slope method (a value fetch per
+    measurement, amortized over epochs — see docs/PERF.md)."""
     import pufferlib_tpu.vector as vector
+    from pufferlib_tpu.config.cli import make_policy
+    from pufferlib_tpu.training import ppo
 
     results = {}
-    n = 128
-    print(f'{"num_envs":>10} {"SPS":>14} {"steps/lane/s":>14}')
+    n = 512
+    horizon = 64
+    print(f'{"num_envs":>10} {"SPS":>14} {"ms/epoch":>10}')
     while n <= 65536:
         try:
             vecenv = make_vecenv(args, creator, backend_name='device',
                 num_envs=n)
-            obs, _ = vecenv.reset(seed=1)
-            atn = vecenv.single_action_space
-            import numpy as _np
-            rng = _np.random.RandomState(0)
-            if hasattr(atn, 'n'):
-                sample = lambda: rng.randint(
-                    0, atn.n, vecenv.num_agents).astype(_np.int32)
-            else:
-                sample = lambda: rng.randint(0, _np.asarray(atn.nvec),
-                    (vecenv.num_agents, len(atn.nvec))).astype(_np.int32)
-            # warmup
-            vecenv.step(sample())
-            steps = 0
+            policy = make_policy(vecenv, env_module, args)
+            batch = n * horizon
+            train_cfg = dict(args.train)
+            for k in ('num_envs', 'num_workers', 'env_batch_size',
+                    'batch_size', 'minibatch_size', 'total_timesteps',
+                    'bptt_horizon', 'verbose', 'data_dir',
+                    'checkpoint_interval', 'anneal_lr'):
+                train_cfg.pop(k, None)
+            config = ppo.default_config(env=args.env, batch_size=batch,
+                minibatch_size=batch // 4, bptt_horizon=16,
+                total_timesteps=batch * 10 ** 6, anneal_lr=False,
+                verbose=False, data_dir='/tmp/puffer_autotune',
+                checkpoint_interval=10 ** 6, **train_cfg)
+            data = ppo.create(config, vecenv, policy)
+            ppo.step(data)
+            float(data.carry['t'])  # compile + sync
             start = time.perf_counter()
-            while time.perf_counter() - start < time_per_config:
-                out = vecenv.step(sample())
-                steps += vecenv.num_agents
-            jax.block_until_ready(out[0])
-            elapsed = time.perf_counter() - start
-            sps = steps / elapsed
+            for _ in range(epochs):
+                ppo.step(data)
+            float(data.carry['t'])
+            dt = (time.perf_counter() - start) / epochs
+            sps = batch / dt
             results[n] = sps
-            print(f'{n:>10} {sps:>14.0f} {sps / n:>14.1f}')
+            print(f'{n:>10} {sps:>14.0f} {dt * 1e3:>10.1f}')
         except Exception as e:
             print(f'{n:>10} failed: {e}')
             break
