@@ -177,6 +177,14 @@ def autotune(args, env_module, creator, epochs=8):
     from pufferlib_tpu.config.cli import make_policy
     from pufferlib_tpu.training import ppo
 
+    if _is_host_creator(creator, dict(args.env_kwargs)):
+        # host envs: sweep workers/batch for the shared-memory envpool
+        # (reference vector.autotune, vector.py:669-854)
+        import pufferlib_tpu.vector_host as vector_host
+        return vector_host.autotune(creator,
+            env_kwargs=dict(args.env_kwargs),
+            max_envs=args.train.get('num_envs') or 64)
+
     results = {}
     n = 512
     horizon = 64

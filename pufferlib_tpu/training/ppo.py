@@ -142,7 +142,9 @@ def create(config, vecenv, policy, wandb=None, mesh=None):
     tx = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-5)
     opt_state = tx.init(params)
 
-    rollout_raw = make_rollout_fn(policy, step_batch, config, T)
+    from pufferlib_tpu.vector import make_mask_fn
+    rollout_raw = make_rollout_fn(policy, step_batch, config, T,
+        mask_fn=make_mask_fn(env))
     update_raw = make_update_fn(policy, tx, config, T, total_agents,
         num_minibatches, seg_rows, mesh=mesh)
 
@@ -260,8 +262,11 @@ def create(config, vecenv, policy, wandb=None, mesh=None):
     return data
 
 
-def make_rollout_fn(policy, step_batch, config, T):
-    """One jitted program: T fused policy+env steps collecting the batch."""
+def make_rollout_fn(policy, step_batch, config, T, mask_fn=None):
+    """One jitted program: T fused policy+env steps collecting the batch.
+
+    mask_fn: optional batched agent-validity mask (vector.make_mask_fn);
+    when set the batch carries a per-row mask honored by the loss."""
     recurrent = isinstance(policy, RecurrentPolicy)
     horizon = config.bptt_horizon
 
@@ -298,6 +303,10 @@ def make_rollout_fn(policy, step_batch, config, T):
                 info_count=jnp.sum(
                     jnp.logical_or(done, trunc).astype(jnp.float32)),
             )
+            if mask_fn is not None:
+                # validity of this row: agents alive in the state the
+                # action was computed from
+                out['mask'] = mask_fn(c['env'])
             new_c = dict(env=env_states, done=done_next, obs=next_obs,
                 keys=c['keys'], t=c['t'] + 1, lstm=lstm, key=key)
             return new_c, out
@@ -483,6 +492,8 @@ def make_update_fn(policy, tx, config, T, total_agents, num_minibatches,
             advantages=segment(advantages),
             returns=segment(returns),
         )
+        if 'mask' in batch:
+            seg_batch['mask'] = segment(batch['mask'])
         if recurrent:
             seg_batch['lstm_h'] = segment_lstm(batch['lstm0'][0])
             seg_batch['lstm_c'] = segment_lstm(batch['lstm0'][1])

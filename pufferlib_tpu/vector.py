@@ -194,6 +194,22 @@ def make_env_ops(env, emulated):
     return reset_batch, step_batch
 
 
+def make_mask_fn(env):
+    """Batched agent-validity mask: envs with variable agent counts
+    (PettingZoo dead/padded agents, emulation.py:391-418 semantics)
+    define `agent_mask(state) -> (num_agents,) bool`; rows of dead
+    agents are excluded from the PPO loss exactly like the reference's
+    experience.store mask (clean_pufferl.py:437-439). Returns None for
+    fixed-agent envs (no masking cost on the hot path)."""
+    if not hasattr(env, 'agent_mask'):
+        return None
+
+    def mask_batch(states):
+        m = jax.vmap(env.agent_mask)(states)  # (lanes, num_agents)
+        return m.reshape(-1).astype(jnp.float32)
+    return mask_batch
+
+
 def check_envs(envs, driver):
     for env in envs:
         if env.observation_space != driver.observation_space and not (

@@ -139,3 +139,69 @@ def test_conv_policy_trains_fused():
     ppo.evaluate(data)
     ppo.train(data)
     assert np.isfinite(data.losses.policy_loss)
+
+
+def test_agent_mask_excludes_dead_agents():
+    """Variable-agent-count envs: rows of dead agents are masked out of
+    the PPO loss (reference PettingZoo padding + experience.store mask,
+    emulation.py:391-418, clean_pufferl.py:437-439)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pufferlib_tpu.vector as vector
+    from pufferlib_tpu import spaces as sp
+    from pufferlib_tpu.environment import PufferEnv, Step
+    from pufferlib_tpu.models import Default, Policy
+    from pufferlib_tpu.training import ppo
+
+    class DyingAgents(PufferEnv):
+        """2 agents; agent 1 dies after 2 ticks; episode ends at 6."""
+        num_agents = 2
+        info_spec = {'score': {'shape': (2,), 'dtype': jnp.float32}}
+
+        def __init__(self):
+            self.observation_space = sp.Box(low=-1, high=1, shape=(2,))
+            self.action_space = sp.Discrete(2)
+            self.render_mode = 'ansi'
+
+        def reset(self, key):
+            state = dict(tick=jnp.int32(0))
+            obs = jnp.zeros((2, 2), jnp.float32)
+            return state, obs
+
+        def agent_mask(self, state):
+            alive1 = state['tick'] < 2
+            return jnp.stack([jnp.bool_(True), alive1])
+
+        def step(self, state, action, key):
+            tick = state['tick'] + 1
+            done_ep = tick >= 6
+            obs = jnp.full((2, 2), tick, jnp.float32) / 6
+            reward = jnp.ones(2, jnp.float32)
+            done = jnp.stack([done_ep, done_ep])
+            info = {'score': jnp.where(done, reward, 0.0)}
+            return Step(dict(tick=tick), obs, reward, done,
+                jnp.zeros(2, jnp.bool_), info)
+
+    vecenv = vector.make(DyingAgents, backend=vector.Device, num_envs=8)
+    policy = Policy(Default(obs_shape=(2,),
+        action_space=sp.Discrete(2), hidden_size=32))
+    config = ppo.default_config(env='dying', batch_size=16 * 12,
+        minibatch_size=16 * 6, bptt_horizon=6, total_timesteps=10 ** 9,
+        verbose=False, data_dir='/tmp/mask_test',
+        checkpoint_interval=10 ** 6)
+    data = ppo.create(config, vecenv, policy)
+
+    c = dict(data.carry)
+    c, batch, info_sums, cnt = data.rollout_fn(data.params, c)
+    assert 'mask' in batch
+    mask = np.asarray(batch['mask'])  # (T, 16 agents)
+    # agent columns alternate [a0, a1] per lane; a1 dies when tick >= 2
+    a1 = mask[:, 1::2]
+    a0 = mask[:, 0::2]
+    assert (a0 == 1).all()
+    assert a1.min() == 0.0 and a1.max() == 1.0
+    # and training consumes the masked batch without error
+    p, o, stats = data.update_fn(data.params, data.opt_state, batch,
+        jax.random.PRNGKey(0), jnp.float32(1e-3))
+    assert np.isfinite(float(stats['policy_loss']))
