@@ -1,5 +1,9 @@
 """Decompose fused-PPO time: env-only scan vs rollout vs update.
 
+Honest timing on the tunneled TPU (see docs/PERF.md): every measurement
+ends with a value fetch, and the per-call time is the slope between a
+short and a long run so the ~45 ms fetch round trip cancels.
+
 Usage: python tools/bench_profile.py [env] [num_envs] [horizon]
 """
 import os
@@ -18,14 +22,13 @@ from pufferlib_tpu.training import ppo
 from pufferlib_tpu.vector import make_env_ops
 
 
-def timeit(fn, *args, n=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    start = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - start) / n
+def slope(run_k, k1=3, k2=13):
+    """Per-call seconds via (T(k2) - T(k1)) / (k2 - k1); run_k(k) must
+    end with a value fetch."""
+    run_k(1)  # warmup/compile
+    t1 = run_k(k1)
+    t2 = run_k(k2)
+    return (t2 - t1) / (k2 - k1)
 
 
 def main():
@@ -38,11 +41,13 @@ def main():
         backend=vector.Device, num_envs=num_envs)
     policy = Policy(Default(
         obs_shape=vecenv.single_observation_space.shape,
-        action_space=vecenv.single_action_space, hidden_size=128))
+        action_space=vecenv.single_action_space, hidden_size=128,
+        dtype=jnp.bfloat16))
     config = ppo.default_config(env=env_name, batch_size=batch,
         minibatch_size=batch // 4, bptt_horizon=16,
-        total_timesteps=batch * 100, verbose=False,
-        data_dir='/tmp/puffer_prof')
+        total_timesteps=batch * 10 ** 6, anneal_lr=False, verbose=False,
+        data_dir='/tmp/puffer_prof', checkpoint_interval=10 ** 6,
+        obs_store_dtype='bfloat16')
     data = ppo.create(config, vecenv, policy)
 
     # 1. env-only scan (random actions, no policy)
@@ -52,9 +57,8 @@ def main():
         def body(c, _):
             split = jax.vmap(lambda k: tuple(jax.random.split(k)))
             new_keys, env_keys = split(c['keys'])
-            a_key = new_keys[0]
             actions = jax.random.randint(
-                a_key, (num_envs,), 0, 8).astype(jnp.int32)
+                new_keys[0], (num_envs,), 0, 8).astype(jnp.int32)
             states, done_next, obs, rew, dn, tr, infos = step_batch(
                 c['env'], c['done'], actions, env_keys)
             return dict(env=states, done=done_next, keys=new_keys), rew
@@ -63,36 +67,50 @@ def main():
         return rews.sum()
 
     env_only_j = jax.jit(env_only)
-    t_env = timeit(env_only_j, data.carry)
-    print(f'env-only scan: {t_env*1e3:9.2f} ms -> {batch/t_env/1e6:8.2f} M steps/s')
+
+    def run_env(k):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            out = env_only_j(data.carry)
+        float(out)
+        return time.perf_counter() - t0
+
+    t_env = slope(run_env)
+    print(f'env-only scan: {t_env*1e3:9.2f} ms -> '
+        f'{batch/t_env/1e6:8.2f} M steps/s')
 
     # 2. rollout program (donates carry: thread the returned one)
-    state = {'carry': data.carry, 'batch': None}
+    st = {'carry': dict(data.carry)}
 
-    def roll():
-        c, b, _, _ = data.rollout_fn(data.params, state['carry'])
-        state['carry'] = c
-        state['batch'] = b
-        return b['reward']
+    def run_roll(k):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            c, b, _, cnt = data.rollout_fn(data.params, st['carry'])
+            st['carry'] = c
+        float(cnt)
+        return time.perf_counter() - t0
 
-    t_roll = timeit(roll)
-    print(f'rollout:       {t_roll*1e3:9.2f} ms -> {batch/t_roll/1e6:8.2f} M steps/s')
+    t_roll = slope(run_roll)
+    print(f'rollout:       {t_roll*1e3:9.2f} ms -> '
+        f'{batch/t_roll/1e6:8.2f} M steps/s')
 
-    # 3. update program (donates params/opt: thread them)
-    pstate = {'params': data.params, 'opt': data.opt_state}
+    # 3. fused step (rollout + update); update = step - rollout
+    ps = {'p': data.params, 'o': data.opt_state, 'c': st['carry']}
 
-    def upd():
-        p, o, stats = data.update_fn(pstate['params'], pstate['opt'],
-            state['batch'], jax.random.PRNGKey(0), jnp.float32(1e-3))
-        pstate['params'] = p
-        pstate['opt'] = o
-        return stats['policy_loss']
+    def run_step(k):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            p, o, c, stats, _, _ = data.step_fn(ps['p'], ps['o'], ps['c'])
+            ps.update(p=p, o=o, c=c)
+        float(stats['policy_loss'])
+        return time.perf_counter() - t0
 
-    t_upd = timeit(upd)
-    print(f'update:        {t_upd*1e3:9.2f} ms -> {batch/t_upd/1e6:8.2f} M steps/s')
-
-    total = t_roll + t_upd
-    print(f'TOTAL:         {total*1e3:9.2f} ms -> {batch/total/1e6:8.2f} M steps/s')
+    t_step = slope(run_step)
+    t_upd = t_step - t_roll
+    print(f'update:        {t_upd*1e3:9.2f} ms -> '
+        f'{batch/max(t_upd,1e-9)/1e6:8.2f} M steps/s')
+    print(f'fused epoch:   {t_step*1e3:9.2f} ms -> '
+        f'{batch/t_step/1e6:8.2f} M steps/s')
 
 
 if __name__ == '__main__':
