@@ -129,6 +129,9 @@ class EpisodeStats(PufferEnv):
             episode_length={'dtype': jnp.int32},
             _valid={'dtype': jnp.bool_},
         )
+        if hasattr(env, 'agent_mask'):
+            # forward the variable-agent mask, unwrapping our state dict
+            self.agent_mask = lambda state: env.agent_mask(state['env'])
 
     def reset(self, key):
         state, obs = self.env.reset(key)

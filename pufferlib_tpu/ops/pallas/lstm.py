@@ -40,6 +40,7 @@ def _gates(xp_t, h, w_hh, cdt):
 
 def _fwd_kernel(xp_ref, h0_ref, c0_ref, whh_ref, outs_ref, ht_ref,
         ct_ref, cseq_ref, *, T, cdt):
+    """Forward with saved cell-state sequence (for the VJP backward)."""
     w_hh = whh_ref[:].astype(cdt)
 
     def body(t, carry):
@@ -49,6 +50,25 @@ def _fwd_kernel(xp_ref, h0_ref, c0_ref, whh_ref, outs_ref, ht_ref,
         h = o * jnp.tanh(c)
         outs_ref[t] = h
         cseq_ref[t] = c
+        return (h, c)
+
+    h, c = jax.lax.fori_loop(0, T, body, (h0_ref[:], c0_ref[:]))
+    ht_ref[:] = h
+    ct_ref[:] = c
+
+
+def _fwd_kernel_noresid(xp_ref, h0_ref, c0_ref, whh_ref, outs_ref,
+        ht_ref, ct_ref, *, T, cdt):
+    """Primal-only forward: skips the (T, B, H) cell-sequence write
+    (inference paths pay no residual HBM traffic)."""
+    w_hh = whh_ref[:].astype(cdt)
+
+    def body(t, carry):
+        h, c = carry
+        i, f, g, o = _gates(xp_ref[t].astype(jnp.float32), h, w_hh, cdt)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        outs_ref[t] = h
         return (h, c)
 
     h, c = jax.lax.fori_loop(0, T, body, (h0_ref[:], c0_ref[:]))
@@ -119,52 +139,53 @@ def _tile(B, prefer=128):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def lstm_scan(x_proj, h0, c0, w_hh, cdt=jnp.bfloat16):
-    outs, hT, cT, _ = _lstm_fwd_impl(x_proj, h0, c0, w_hh, cdt)
-    return outs, hT, cT
+    return _lstm_fwd_impl(x_proj, h0, c0, w_hh, cdt, with_cseq=False)[:3]
 
 
-def _lstm_fwd_impl(x_proj, h0, c0, w_hh, cdt):
+def _lstm_fwd_impl(x_proj, h0, c0, w_hh, cdt, with_cseq=True):
     T, B, H4 = x_proj.shape
     H = H4 // 4
     bt = _tile(B)
     assert bt is not None, f'batch {B} not tileable'
     grid = (B // bt,)
-    kernel = functools.partial(_fwd_kernel, T=T, cdt=cdt)
-    outs, hT, cT, cseq = pl.pallas_call(
+    vm = pltpu.VMEM
+    seq_spec = pl.BlockSpec((T, bt, H), lambda b: (0, b, 0),
+        memory_space=vm)
+    state_spec = pl.BlockSpec((bt, H), lambda b: (b, 0), memory_space=vm)
+    out_specs = [seq_spec, state_spec, state_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+        jax.ShapeDtypeStruct((B, H), jnp.float32),
+        jax.ShapeDtypeStruct((B, H), jnp.float32),
+    ]
+    if with_cseq:
+        kernel = functools.partial(_fwd_kernel, T=T, cdt=cdt)
+        out_specs = out_specs + [seq_spec]
+        out_shape = out_shape + [
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32)]
+    else:
+        kernel = functools.partial(_fwd_kernel_noresid, T=T, cdt=cdt)
+    res = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((T, bt, H4), lambda b: (0, b, 0),
-                memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, H), lambda b: (b, 0),
-                memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, H), lambda b: (b, 0),
-                memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H4), lambda b: (0, 0),
-                memory_space=pltpu.VMEM),
+                memory_space=vm),
+            state_spec,
+            state_spec,
+            pl.BlockSpec((H, H4), lambda b: (0, 0), memory_space=vm),
         ],
-        out_specs=[
-            pl.BlockSpec((T, bt, H), lambda b: (0, b, 0),
-                memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, H), lambda b: (b, 0),
-                memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, H), lambda b: (b, 0),
-                memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, bt, H), lambda b: (0, b, 0),
-                memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((B, H), jnp.float32),
-            jax.ShapeDtypeStruct((B, H), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
     )(x_proj, h0, c0, w_hh)
-    return outs, hT, cT, cseq
+    if with_cseq:
+        return res
+    return tuple(res) + (None,)
 
 
 def _lstm_scan_fwd(x_proj, h0, c0, w_hh, cdt):
-    outs, hT, cT, cseq = _lstm_fwd_impl(x_proj, h0, c0, w_hh, cdt)
+    outs, hT, cT, cseq = _lstm_fwd_impl(x_proj, h0, c0, w_hh, cdt,
+        with_cseq=True)
     return (outs, hT, cT), (x_proj, h0, c0, w_hh, outs, cseq)
 
 
@@ -216,8 +237,9 @@ def lstm_scan_reference(x_proj, h0, c0, w_hh, cdt=jnp.float32):
     """Pure-JAX reference with identical semantics (for tests/fallback)."""
     def cell(carry, xt):
         h, c = carry
-        gates = xt.astype(jnp.float32) + (
-            h.astype(cdt) @ w_hh.astype(cdt)).astype(jnp.float32)
+        gates = xt.astype(jnp.float32) + jnp.dot(
+            h.astype(cdt), w_hh.astype(cdt),
+            preferred_element_type=jnp.float32)
         H = h.shape[-1]
         i = jax.nn.sigmoid(gates[:, :H])
         f = jax.nn.sigmoid(gates[:, H:2 * H])

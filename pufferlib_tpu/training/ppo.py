@@ -171,8 +171,10 @@ def create(config, vecenv, policy, wandb=None, mesh=None):
     def step_raw(params, opt_state, carry):
         """Fused epoch: rollout + GAE + PPO update in ONE XLA program —
         a single device dispatch per epoch, zero host round-trips (the
-        PRNG chain and lr schedule both advance inside the program)."""
-        lr = compute_lr(carry['t'])
+        PRNG chain and lr schedule both advance inside the program).
+        The anneal fraction uses the post-rollout step count, matching
+        the reference's evaluate-then-train order."""
+        lr = compute_lr(carry['t'] + jnp.uint32(T))
         key, update_key = jax.random.split(carry['key'])
         carry = {**carry, 'key': key}
         carry, batch, info_sums, episode_count = rollout_raw(params, carry)
@@ -385,8 +387,7 @@ def make_epoch_runner(policy, tx, config, seg_rows, num_minibatches, S):
                     ent_coef=config.ent_coef,
                     norm_adv=config.norm_adv,
                     clip_vloss=config.clip_vloss,
-                    mask=mb.get('mask', jnp.ones(1)).reshape(-1)
-                        if 'mask' in mb else None,
+                    mask=mb['mask'].reshape(-1) if 'mask' in mb else None,
                 )
                 return loss, stats
 
@@ -617,7 +618,8 @@ def step(data):
     config = data.config
     lr = config.learning_rate
     if config.anneal_lr:
-        lr = (1.0 - data.global_step / config.total_timesteps) * lr
+        lr = (1.0 - (data.global_step + config.batch_size)
+            / config.total_timesteps) * lr
 
     (data.params, data.opt_state, data.carry, stats, info_sums,
         episode_count) = data.step_fn(data.params, data.opt_state,
@@ -640,6 +642,7 @@ def step(data):
             print(f'epoch {data.epoch} step {data.global_step} '
                 f'SPS {data.profile.SPS:.3g} '
                 + ' '.join(f'{k}={v:.3f}' for k, v in data.stats.items()))
+        _log_wandb(data)
     if data.epoch % config.checkpoint_interval == 0 or done_training:
         ckpt.save_checkpoint(data)
         data.msg = f'Checkpoint saved at update {data.epoch}'
@@ -654,7 +657,7 @@ def step_many(data, epochs):
     lr = config.learning_rate
     if config.anneal_lr:
         frac = 1.0 - (data.global_step
-            + (epochs - 1) * config.batch_size) / config.total_timesteps
+            + epochs * config.batch_size) / config.total_timesteps
         lr = frac * config.learning_rate
 
     (data.params, data.opt_state, data.carry, stats, info_sums,
@@ -676,9 +679,28 @@ def step_many(data, epochs):
             print(f'epoch {data.epoch} step {data.global_step} '
                 f'SPS {data.profile.SPS:.3g} '
                 + ' '.join(f'{k}={v:.3f}' for k, v in data.stats.items()))
+        _log_wandb(data)
     if done_training or data.epoch % config.checkpoint_interval < epochs:
         ckpt.save_checkpoint(data)
     return data.stats
+
+
+def _log_wandb(data):
+    """wandb sink for the fused paths (same metric names as train())."""
+    if data.wandb is None or data.global_step == 0:
+        return
+    if time.time() - data.last_log_time <= 3.0:
+        return
+    data.last_log_time = time.time()
+    data.wandb.log({
+        '0verview/SPS': data.profile.SPS,
+        '0verview/agent_steps': data.global_step,
+        '0verview/epoch': data.epoch,
+        '0verview/learning_rate': data.last_lr,
+        **{f'environment/{k}': v for k, v in data.stats.items()},
+        **{f'losses/{k}': v for k, v in data.losses.items()},
+        **{f'performance/{k}': v for k, v in data.profile},
+    })
 
 
 def _materialize_metrics(data):

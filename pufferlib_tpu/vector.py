@@ -279,13 +279,13 @@ class Device:
     # ---- async protocol ----------------------------------------------
     def async_reset(self, seed=42):
         self.flag = RECV
-        seeds = make_seeds(seed, self.num_envs_total)
-        base = jax.random.PRNGKey(seeds[0])
-        lane_idx = jnp.arange(self.num_envs_total)
-        lane_keys = jax.vmap(jax.random.fold_in, (None, 0))(base, lane_idx)
+        seeds = jnp.asarray(make_seeds(seed, self.num_envs_total))
+        base = jax.random.PRNGKey(0)
+        # fold each lane's own seed in, so per-env seed lists are honored
+        lane_keys = jax.vmap(jax.random.fold_in, (None, 0))(base, seeds)
         reset_base = jax.random.split(base)[1]
         reset_keys = jax.vmap(jax.random.fold_in, (None, 0))(
-            reset_base, lane_idx)
+            reset_base, seeds)
 
         states, obs, dones = self._reset_batch(reset_keys)
         self._state = namespace(env=states, done=dones, keys=lane_keys)
@@ -336,7 +336,15 @@ class Device:
         obs, rew, dn, tr, infos = self._pending[g]
         agents = self.batch_agents
         ids = self.agent_ids[g * agents:(g + 1) * agents]
-        mask = np.ones(agents, dtype=bool)
+        if hasattr(self.env, 'agent_mask'):
+            B = self.batch_envs
+            lo = g * B
+            states = jax.tree.map(lambda x: jax.lax.slice_in_dim(
+                x, lo, lo + B, axis=0), self._state.env)
+            mask = np.asarray(jax.vmap(self.env.agent_mask)(states)
+                ).reshape(-1)
+        else:
+            mask = np.ones(agents, dtype=bool)
         return obs, rew, dn, tr, infos, ids, mask
 
     # ---- sync API ------------------------------------------------------
@@ -374,7 +382,8 @@ class Serial:
             else env_creators
         kw = (env_kwargs[0] if isinstance(env_kwargs, (list, tuple))
             else env_kwargs) or {}
-        args = env_args or []
+        args = (env_args[0] if env_args and isinstance(env_args[0],
+            (list, tuple)) else env_args) or []
         self.env = creator(*args, **kw) if callable(creator) else creator
         self.driver_env = self
         self.num_envs_total = num_envs
@@ -397,12 +406,13 @@ class Serial:
 
     def async_reset(self, seed=42):
         self.flag = RECV
-        base = jax.random.PRNGKey(make_seeds(seed, self.num_envs_total)[0])
+        seeds = make_seeds(seed, self.num_envs_total)
+        base = jax.random.PRNGKey(0)
         reset_base = jax.random.split(base)[1]
-        self._keys = [jax.random.fold_in(base, i)
-            for i in range(self.num_envs_total)]
-        reset_keys = [jax.random.fold_in(reset_base, i)
-            for i in range(self.num_envs_total)]
+        self._keys = [jax.random.fold_in(base, s)
+            for s in seeds]
+        reset_keys = [jax.random.fold_in(reset_base, s)
+            for s in seeds]
 
         env = self.env
         self._step_count = 0
@@ -498,6 +508,10 @@ def make(env_creator, env_args=None, env_kwargs=None, backend=Device,
     if batch_size is not None and num_envs % batch_size != 0:
         raise APIUsageError('num_envs must be divisible by batch_size')
     if backend is Serial:
+        if batch_size is not None and batch_size != num_envs:
+            raise APIUsageError(
+                'Serial steps all envs together; batch_size < num_envs '
+                '(async env-pool mode) requires the Device backend')
         return Serial(env_creator, env_args, env_kwargs,
             num_envs=num_envs, seed=seed, **kwargs)
     return backend(env_creator, env_args, env_kwargs, num_envs=num_envs,
