@@ -89,12 +89,28 @@ def emulate_observation_space(space):
 
 
 def emulate_action_space(space):
-    """Nested action space -> (MultiDiscrete of leaf cardinalities, dtype)."""
+    """Nested action space -> (MultiDiscrete of leaf cardinalities, dtype).
+
+    Continuous (Box) action spaces cannot be emulated to MultiDiscrete;
+    discretize first (see environments/dm_control for the pattern)."""
     if isinstance(space, (spaces.Discrete, spaces.MultiDiscrete)):
         return space, space.dtype
     emulated_dtype = dtype_from_space(space)
     leaves = flatten_space(space)
-    flat = spaces.MultiDiscrete([leaf.n for leaf in leaves])
+    nvec = []
+    for leaf in leaves:
+        if hasattr(leaf, 'nvec'):  # MultiDiscrete leaf
+            nvec.extend(int(n) for n in leaf.nvec)
+        elif hasattr(leaf, 'n'):   # Discrete / MultiBinary leaf
+            if type(leaf).__name__ == 'MultiBinary':
+                nvec.extend([2] * int(leaf.n))
+            else:
+                nvec.append(int(leaf.n))
+        else:
+            raise ValueError(
+                'Continuous (Box) action spaces cannot be emulated; '
+                'discretize them first (see environments/dm_control)')
+    flat = spaces.MultiDiscrete(nvec)
     return flat, emulated_dtype
 
 
@@ -108,13 +124,22 @@ def is_emulated(space):
 # Numpy host-side pack/unpack (for the external-env bridge)
 
 def emulate(struct, sample):
-    """Copy a nested dict/tuple sample into a structured-array view."""
+    """Copy a nested dict/tuple sample into a structured-array view.
+    Assignment goes through the parent field (struct[key] = value):
+    indexing a scalar field of a void scalar returns a COPY, so writing
+    into it would silently not propagate (and raises for 0-d)."""
     if isinstance(sample, dict):
         for k, v in sample.items():
-            emulate(struct[k], v)
+            if isinstance(v, (dict, tuple, list)):
+                emulate(struct[k], v)
+            else:
+                struct[k] = v
     elif isinstance(sample, (tuple, list)):
         for i, v in enumerate(sample):
-            emulate(struct[f'f{i}'], v)
+            if isinstance(v, (dict, tuple, list)):
+                emulate(struct[f'f{i}'], v)
+            else:
+                struct[f'f{i}'] = v
     else:
         struct[()] = sample
 
@@ -194,7 +219,11 @@ def nativize_dtype(emulated):
     return subviews
 
 
-def _nativize_dtype(sample_dtype, structured_dtype, offset=0):
+def _nativize_dtype(sample_dtype, structured_dtype, byte_offset=0):
+    """Offsets come from numpy's OWN field layout (dtype.fields carries
+    each field's byte offset), so nested-struct tail padding under
+    align=True is honored exactly — accumulating deltas by hand would
+    mis-place every field after a padded inner struct."""
     if structured_dtype.fields is None:
         if structured_dtype.subdtype is not None:
             dtype, shape = structured_dtype.subdtype
@@ -204,26 +233,25 @@ def _nativize_dtype(sample_dtype, structured_dtype, offset=0):
 
         delta = int(np.prod(shape))
         if sample_dtype.base.itemsize == 1:
-            offset = _round_to(offset, dtype.alignment)
+            offset = byte_offset
             delta *= dtype.itemsize
         else:
             assert dtype.itemsize == sample_dtype.base.itemsize, (
                 'mixed-dtype spaces must emulate to bytes')
+            assert byte_offset % sample_dtype.base.itemsize == 0
+            offset = byte_offset // sample_dtype.base.itemsize
         return None, np.dtype(dtype), tuple(shape), offset, delta
 
     subviews = {}
-    start_offset = offset
-    all_delta = 0
-    for name, (field_dtype, _) in structured_dtype.fields.items():
+    for name, finfo in structured_dtype.fields.items():
+        field_dtype, field_off = finfo[0], finfo[1]
         views, dtype, shape, offset, delta = _nativize_dtype(
-            sample_dtype, field_dtype, offset)
+            sample_dtype, field_dtype, byte_offset + field_off)
         if views is not None:
             subviews[name] = views
         else:
             subviews[name] = (dtype, shape, offset, delta)
-        offset += delta
-        all_delta += delta
-    return subviews, dtype, shape, start_offset, all_delta
+    return subviews, dtype, shape, byte_offset, structured_dtype.itemsize
 
 
 # --------------------------------------------------------------------------

@@ -282,8 +282,11 @@ class PettingZooPufferEnv:
             if agent not in self.agents:
                 continue
             if self.is_atn_emulated:
-                atn = emulation.nativize(np.asarray(atn, self.atn_dtype),
-                    self.native_action_space, self.atn_dtype)
+                # flat MultiDiscrete vector -> nested native action
+                # (a structured-dtype cast would broadcast component 0
+                # to every leaf)
+                atn = emulation.nativize_multidiscrete(
+                    atn, self.native_action_space)
             elif isinstance(self.single_action_space, spaces.Discrete):
                 atn = int(np.asarray(atn).ravel()[0])
             unpacked[agent] = atn

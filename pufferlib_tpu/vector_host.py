@@ -81,7 +81,8 @@ class HostSerial:
     (reference vector.py:70-166)."""
 
     def __init__(self, env_creators, env_args=None, env_kwargs=None,
-            num_envs=1, buf=None, **kwargs):
+            num_envs=1, buf=None, seed=42, **kwargs):
+        self.seed = seed
         creators = env_creators if isinstance(env_creators, (list, tuple)) \
             else [env_creators] * num_envs
         self.envs = [_wrap(creators[i % len(creators)], env_args,
@@ -119,8 +120,10 @@ class HostSerial:
                 masks=buf.masks[ptr:end])
             ptr = end
 
-    def async_reset(self, seed=42):
+    def async_reset(self, seed=None):
         self.flag = RECV
+        if seed is None:
+            seed = getattr(self, 'seed', 42)
         seeds = make_seeds(seed, len(self.envs))
         if self.buf is None:
             obs_space = self.single_observation_space
@@ -222,19 +225,24 @@ def _worker_process(env_creators, env_args, env_kwargs, envs_per_worker,
             seeds = recv_pipe.recv()
             envs.async_reset(seeds)
             infos = envs.infos
-            sem[0] = MAIN
+            # publish the semaphore ONCE after any pipe traffic: a
+            # MAIN-then-INFO double write races the driver into missing
+            # the infos and re-reading a stale batch
             if infos:
                 send_pipe.send(infos)
                 sem[0] = INFO
+            else:
+                sem[0] = MAIN
             start = time.time()
         elif flag == STEP:
             envs.flag = SEND  # worker drives the FSM: recv is implicit
             envs.send(atn_arr.copy())
             infos = envs.infos
-            sem[0] = MAIN
             if infos:
                 send_pipe.send(infos)
                 sem[0] = INFO
+            else:
+                sem[0] = MAIN
             start = time.time()
         elif flag == CLOSE:
             envs.close()
@@ -250,7 +258,14 @@ class HostMultiprocessing:
     vector.py:218-447)."""
 
     def __init__(self, env_creators, env_args=None, env_kwargs=None,
-            num_envs=1, num_workers=None, batch_size=None, **kwargs):
+            num_envs=1, num_workers=None, batch_size=None, seed=42,
+            zero_copy=False, **kwargs):
+        # zero_copy=True returns the internal gather buffers from recv()
+        # (overwritten by the next recv) — fastest, reference
+        # vector.py:362-381 semantics. Default False: recv returns
+        # fresh copies, matching the Python fallback path.
+        self.zero_copy = zero_copy
+        self.seed = seed
         num_workers = num_workers or num_envs
         if num_envs % num_workers != 0:
             raise APIUsageError('num_envs must be divisible by num_workers')
@@ -316,11 +331,17 @@ class HostMultiprocessing:
         self.processes = []
         self.send_pipes = []
         self.recv_pipes = []
+        creators_list = env_creators if isinstance(
+            env_creators, (list, tuple)) else None
         for i in range(num_workers):
+            # each worker owns its contiguous slice of the creator list
+            worker_creators = env_creators if creators_list is None else \
+                list(creators_list[i * envs_per_worker:
+                    (i + 1) * envs_per_worker])
             main_send, worker_recv = _mp.Pipe()
             worker_send, main_recv = _mp.Pipe()
             p = _mp.Process(target=_worker_process, args=(
-                env_creators, env_args, env_kwargs, envs_per_worker,
+                worker_creators, env_args, env_kwargs, envs_per_worker,
                 obs_shape, np.dtype(obs_space.dtype), atn_shape,
                 np.dtype(atn_space.dtype), agents_per_worker, i,
                 worker_send, worker_recv, self.shm), daemon=True)
@@ -348,8 +369,10 @@ class HostMultiprocessing:
             self._trunc_batch = np.empty(B, bool)
             self._mask_batch = np.empty(B, bool)
 
-    def async_reset(self, seed=42):
+    def async_reset(self, seed=None):
         self.flag = RECV
+        if seed is None:
+            seed = getattr(self, 'seed', 42)
         seeds = make_seeds(seed, self.num_workers * self.envs_per_worker)
         for i in range(self.num_workers):
             lo = i * self.envs_per_worker
@@ -428,8 +451,13 @@ class HostMultiprocessing:
                 blocks, apw)
             g.gather_rows(self._lib, self.mask_arr, self._mask_batch,
                 blocks, apw)
-            return (self._obs_batch, self._rew_batch, self._term_batch,
-                self._trunc_batch, infos, idx, self._mask_batch)
+            if self.zero_copy:
+                return (self._obs_batch, self._rew_batch,
+                    self._term_batch, self._trunc_batch, infos, idx,
+                    self._mask_batch)
+            return (self._obs_batch.copy(), self._rew_batch.copy(),
+                self._term_batch.copy(), self._trunc_batch.copy(),
+                infos, idx, self._mask_batch.copy())
 
         return (self.obs_arr[idx], self.rew_arr[idx], self.term_arr[idx],
             self.trunc_arr[idx], infos, idx, self.mask_arr[idx])
@@ -454,8 +482,17 @@ class HostMultiprocessing:
         return obs, rew, term, trunc, infos
 
     def close(self):
+        # ask workers to close their envs (releases emulator processes,
+        # files, sockets), then join; terminate only as a fallback
+        self.sem[:] = CLOSE
+        deadline = time.time() + 2.0
         for p in self.processes:
-            p.terminate()
+            p.join(max(deadline - time.time(), 0.1))
+        for p in self.processes:
+            if p.is_alive():
+                p.terminate()
+        for pipe in self.send_pipes + self.recv_pipes:
+            pipe.close()
 
     @property
     def num_envs(self):
@@ -519,7 +556,9 @@ class HostRay:
     """
 
     def __init__(self, env_creators, env_args=None, env_kwargs=None,
-            num_envs=1, num_workers=None, batch_size=None, **kwargs):
+            num_envs=1, num_workers=None, batch_size=None, seed=42,
+            **kwargs):
+        self.seed = seed
         try:
             import ray
         except ImportError as e:
@@ -568,41 +607,45 @@ class HostRay:
         self.flag = RESET
         self.initialized = False
 
-    def async_reset(self, seed=42):
+    def async_reset(self, seed=None):
         self.flag = RECV
+        if seed is None:
+            seed = getattr(self, 'seed', 42)
         self.futures = [w.reset.remote(seed + i * self.envs_per_worker)
             for i, w in enumerate(self.workers)]
-        self._pending_reset = True
+        # per-future kind: reset futures return (obs, infos), step
+        # futures a 5-tuple — both kinds coexist in env-pool mode
+        self.future_kind = ['reset'] * self.num_workers
+
+    def _normalize(self, result, kind):
+        a = self.agents_per_worker
+        if kind == 'reset':
+            obs, infos = result
+            return (obs, np.zeros(a, np.float32), np.zeros(a, bool),
+                np.zeros(a, bool), infos or [])
+        obs, rew, term, trunc, infos = result
+        return obs, rew, term, trunc, (infos or [])
 
     def recv(self):
         recv_precheck(self)
         ray = self._ray
-        if self.env_pool and not self._pending_reset:
+        if self.env_pool:
             ready, _ = ray.wait(
                 self.futures, num_returns=self.workers_per_batch)
             env_ids = [self.futures.index(f) for f in ready]
             results = ray.get(ready)
         else:
-            env_ids = list(range(self.workers_per_batch)) \
-                if not self._pending_reset else list(
-                    range(self.num_workers))[:self.workers_per_batch]
-            results = ray.get(
-                self.futures[:self.workers_per_batch])
+            env_ids = list(range(self.workers_per_batch))
+            results = ray.get(self.futures[:self.workers_per_batch])
         self.prev_env_ids = env_ids
 
-        if self._pending_reset:
-            obs = np.concatenate([r[0] for r in results])
-            a = self.agents_per_batch
-            rew = np.zeros(a, np.float32)
-            term = np.zeros(a, bool)
-            trunc = np.zeros(a, bool)
-            infos = [r[1] for r in results if r[1]]
-        else:
-            obs = np.concatenate([r[0] for r in results])
-            rew = np.concatenate([r[1] for r in results])
-            term = np.concatenate([r[2] for r in results])
-            trunc = np.concatenate([r[3] for r in results])
-            infos = [i for r in results for i in (r[4] or [])]
+        results = [self._normalize(r, self.future_kind[e])
+            for e, r in zip(env_ids, results)]
+        obs = np.concatenate([r[0] for r in results])
+        rew = np.concatenate([r[1] for r in results])
+        term = np.concatenate([r[2] for r in results])
+        trunc = np.concatenate([r[3] for r in results])
+        infos = [i for r in results for i in r[4]]
         agent_ids = np.concatenate([np.arange(
             e * self.agents_per_worker, (e + 1) * self.agents_per_worker)
             for e in env_ids])
@@ -612,13 +655,10 @@ class HostRay:
     def send(self, actions):
         send_precheck(self)
         actions = np.asarray(actions)
-        self._pending_reset = False
         per_worker = np.array_split(actions, self.workers_per_batch)
-        futures = list(self.futures) if self.futures else \
-            [None] * self.num_workers
         for e, atns in zip(self.prev_env_ids, per_worker):
-            futures[e] = self.workers[e].step.remote(atns)
-        self.futures = futures
+            self.futures[e] = self.workers[e].step.remote(atns)
+            self.future_kind[e] = 'step' 
 
     def reset(self, seed=42):
         self.async_reset(seed)
@@ -648,6 +688,6 @@ def make(env_creator, env_args=None, env_kwargs=None, backend=HostSerial,
     if backend in (HostMultiprocessing, HostRay):
         return backend(env_creator, env_args, env_kwargs,
             num_envs=num_envs, num_workers=num_workers,
-            batch_size=batch_size, **kwargs)
+            batch_size=batch_size, seed=seed, **kwargs)
     return HostSerial(env_creator, env_args, env_kwargs,
-        num_envs=num_envs, **kwargs)
+        num_envs=num_envs, seed=seed, **kwargs)

@@ -154,3 +154,49 @@ def test_jax_nativize_uniform_dtype():
     out = emulation.nativize_tensor(jnp.asarray(arr)[None], spec)
     assert np.allclose(np.asarray(out['f0'][0]), sample[0])
     assert np.allclose(np.asarray(out['f1'][0]), sample[1])
+
+
+def test_nested_struct_padding_offsets():
+    """Fields after a tail-padded inner struct decode from numpy's OWN
+    byte offsets (regression: hand-accumulated offsets read garbage)."""
+    import jax.numpy as jnp
+    space = spaces.Dict({
+        'a': spaces.Dict({
+            'c': spaces.Box(low=0, high=1, shape=(1,), dtype=np.float32),
+            'd': spaces.Box(low=0, high=255, shape=(1,), dtype=np.uint8)}),
+        'z': spaces.Box(low=0, high=255, shape=(2,), dtype=np.uint8),
+    })
+    flat, struct = emulation.emulate_observation_space(space)
+    em = emulation.make_emulated(space)
+    sample = {'a': {'c': np.array([0.5], np.float32),
+        'd': np.array([7], np.uint8)}, 'z': np.array([11, 22], np.uint8)}
+    buf, view = emulation.make_buffer(np.dtype(flat.dtype), struct)
+    emulation.emulate(view[0], sample)
+    spec = emulation.nativize_dtype(em)
+    nat = emulation.nativize_tensor(jnp.asarray(buf).reshape(1, -1), spec)
+    assert np.asarray(nat['z']).ravel().tolist() == [11, 22]
+    assert float(np.asarray(nat['a']['c'])) == 0.5
+    assert int(np.asarray(nat['a']['d'])) == 7
+
+
+def test_emulate_scalar_discrete_leaf():
+    """Discrete leaves (scalar struct fields) survive the emulate
+    round-trip (regression: scalar field assignment wrote to a copy)."""
+    space = spaces.Dict({
+        'd': spaces.Discrete(5),
+        'b': spaces.Box(low=0, high=1, shape=(2,), dtype=np.int64),
+    })
+    flat, struct = emulation.emulate_observation_space(space)
+    buf, view = emulation.make_buffer(np.dtype(flat.dtype), struct)
+    emulation.emulate(view[0], {'d': 4, 'b': np.array([1, 0], np.int64)})
+    back = emulation.nativize(buf, space, struct)
+    assert back['d'] == 4
+    assert list(back['b']) == [1, 0]
+
+
+def test_box_action_space_clear_error():
+    import pytest
+    with pytest.raises(ValueError, match='discretize'):
+        emulation.emulate_action_space(spaces.Dict({
+            'move': spaces.Box(low=-1, high=1, shape=(2,)),
+        }))

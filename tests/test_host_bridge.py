@@ -156,3 +156,42 @@ def test_host_ray_gated():
         assert np.array_equal(rs, rr)
     ser.close()
     rv.close()
+
+
+def test_pettingzoo_emulated_actions_not_broadcast():
+    """Multi-component actions reach the env intact (regression: the
+    structured-dtype cast broadcast component 0 to every leaf)."""
+    import gymnasium
+    from pufferlib_tpu.host_env import PettingZooPufferEnv
+
+    got = {}
+
+    class TupleActEnv:
+        possible_agents = ['p0']
+        agents = ['p0']
+        render_mode = None
+
+        def observation_space(self, agent):
+            return gymnasium.spaces.Box(low=0, high=1, shape=(2,),
+                dtype=np.float32)
+
+        def action_space(self, agent):
+            return gymnasium.spaces.Tuple(
+                (gymnasium.spaces.Discrete(3), gymnasium.spaces.Discrete(7)))
+
+        def reset(self, seed=None):
+            self.agents = ['p0']
+            return {'p0': np.zeros(2, np.float32)}, {'p0': {}}
+
+        def step(self, actions):
+            got['action'] = actions['p0']
+            return ({'p0': np.zeros(2, np.float32)}, {'p0': 0.0},
+                {'p0': False}, {'p0': False}, {'p0': {}})
+
+        def close(self):
+            pass
+
+    env = PettingZooPufferEnv(env=TupleActEnv())
+    env.reset(seed=0)
+    env.step({'p0': np.array([2, 5])})
+    assert tuple(got['action']) == (2, 5), got['action']
