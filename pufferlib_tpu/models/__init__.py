@@ -233,6 +233,7 @@ class Convolutional(nn.Module):
     action_space: object
     framestack: int
     flat_size: int
+    obs_shape: tuple = None  # accepted for factory-contract uniformity
     hidden_size: int = 512
     channels_last: bool = False
     downsample: int = 1
@@ -305,31 +306,40 @@ class _ConvSequence(nn.Module):
 
 
 class ProcgenResnet(nn.Module):
-    """IMPALA-style resnet (reference models.py:159-196). NHWC input."""
+    """IMPALA-style resnet (reference models.py:159-196). NHWC input.
+    setup()-based so encode/decode can be called separately (required
+    for LSTMWrapper composition)."""
     action_space: object
     cnn_width: int = 16
     mlp_width: int = 256
+    obs_shape: tuple = None  # accepted for factory-contract uniformity
 
-    @nn.compact
+    def setup(self):
+        widths = [self.cnn_width, 2 * self.cnn_width, 2 * self.cnn_width]
+        self.sequences = [_ConvSequence(ch, name=f'seq_{i}')
+            for i, ch in enumerate(widths)]
+        self.fc = nn.Dense(self.mlp_width, name='fc')
+        is_md, nvec = _action_info(self.action_space)
+        self.is_multidiscrete = is_md
+        self.actors = [layer_init_dense(n, std=0.01, name=f'actor_{i}')
+            for i, n in enumerate(nvec)]
+        self.value_head = layer_init_dense(1, std=1.0, name='value')
+
     def __call__(self, observations):
         hidden, lookup = self.encode_observations(observations)
         return self.decode_actions(hidden, lookup)
 
     def encode_observations(self, x):
         x = x.astype(jnp.float32) / 255.0
-        for ch in [self.cnn_width, 2 * self.cnn_width, 2 * self.cnn_width]:
-            x = _ConvSequence(ch)(x)
+        for seq in self.sequences:
+            x = seq(x)
         x = x.reshape(x.shape[0], -1)
         x = jax.nn.relu(x)
-        x = nn.Dense(self.mlp_width)(x)
-        x = jax.nn.relu(x)
-        return x, None
+        return jax.nn.relu(self.fc(x)), None
 
     def decode_actions(self, hidden, lookup=None):
-        is_md, nvec = _action_info(self.action_space)
-        value = layer_init_dense(1, std=1.0, name='value')(hidden)
-        logits = [layer_init_dense(n, std=0.01, name=f'actor_{i}')(hidden)
-            for i, n in enumerate(nvec)]
-        if is_md:
+        value = self.value_head(hidden)
+        logits = [actor(hidden) for actor in self.actors]
+        if self.is_multidiscrete:
             return logits, value
         return logits[0], value

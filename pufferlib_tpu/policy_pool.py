@@ -36,9 +36,23 @@ class PolicyPool:
     def update_params(self, policy_idx, params):
         self.params_list[policy_idx] = params
 
-    def forward(self, obs, state=None, key=None):
+    def forward(self, obs, state=None, key=None, agent_ids=None):
         """Returns (actions, logprobs, entropy, values, new_state) with
-        each agent's row produced by its assigned policy."""
+        each agent's row produced by its assigned policy.
+
+        agent_ids: optional (B,) global agent indices for partial or
+        reordered batches (async env-pool recv) — the reference subsets
+        policy_map by the batch mask (pytorch.py:208-258); omitted, the
+        batch must be all agents in fixed order."""
+        if agent_ids is not None:
+            pmap = self.policy_map[jnp.asarray(agent_ids, jnp.int32)]
+        else:
+            if obs.shape[0] != self.policy_map.shape[0]:
+                raise ValueError(
+                    f'obs batch {obs.shape[0]} != num_agents '
+                    f'{self.policy_map.shape[0]}; pass agent_ids for '
+                    'partial batches')
+            pmap = self.policy_map
         keys = (jax.random.split(key, self.num_policies)
             if key is not None else [None] * self.num_policies)
 
@@ -56,7 +70,7 @@ class PolicyPool:
 
         def gather(stacked):
             # stacked: (P, B, ...) -> per-agent row by policy_map
-            idx = self.policy_map.reshape(
+            idx = pmap.reshape(
                 (1, -1) + (1,) * (stacked.ndim - 2))
             return jnp.take_along_axis(stacked, idx, axis=0)[0]
 

@@ -71,13 +71,19 @@ class Experience:
         self.sort_keys = []
         self.ptr = 0
         self.step = 0
+        # per-agent stored-row counts + LSTM state snapshots at BPTT
+        # segment starts, keyed (agent_id, segment_index) — the update
+        # must start each segment from the state the rollout actually
+        # had there, not zeros (device path: ppo.py segment_lstm)
+        self.agent_step = {}
+        self.lstm_snap = {}
 
     @property
     def full(self):
         return self.ptr >= self.batch_size
 
     def store(self, obs, value, action, logprob, reward, done, env_id,
-            mask):
+            mask, lstm_h_prev=None, lstm_c_prev=None):
         ptr = self.ptr
         indices = np.where(mask)[0][:self.batch_size - ptr]
         end = ptr + len(indices)
@@ -88,6 +94,16 @@ class Experience:
         self.rewards[ptr:end] = reward[indices]
         self.dones[ptr:end] = done[indices]
         self.sort_keys.extend([(env_id[i], self.step) for i in indices])
+        if self.lstm_h is not None and lstm_h_prev is not None:
+            h = self.bptt_horizon
+            for i in indices:
+                a = int(env_id[i])
+                t_a = self.agent_step.get(a, 0)
+                if t_a % h == 0:
+                    self.lstm_snap[(a, t_a // h)] = (
+                        np.asarray(lstm_h_prev[:, a]),
+                        np.asarray(lstm_c_prev[:, a]))
+                self.agent_step[a] = t_a + 1
         self.ptr = end
         self.step += 1
 
@@ -99,9 +115,11 @@ class Experience:
         self.b_idxs = idxs.reshape(
             self.minibatch_rows, self.num_minibatches, self.bptt_horizon
         ).transpose(1, 0, 2)  # (M, rows, h)
+        self.sorted_keys = [self.sort_keys[i] for i in idxs]
         self.sort_keys = []
         self.ptr = 0
         self.step = 0
+        self.agent_step = {}
         return idxs
 
 
@@ -193,6 +211,8 @@ def evaluate(data):
 
         with profile.eval_forward:
             data.key, sub = jax.random.split(data.key)
+            lstm_h_prev, lstm_c_prev = (experience.lstm_h,
+                experience.lstm_c)
             actions, logprob, value, experience.lstm_h, \
                 experience.lstm_c = data.forward_fn(
                     data.params, jnp.asarray(o), experience.lstm_h,
@@ -203,7 +223,11 @@ def evaluate(data):
             experience.store(np.asarray(o), np.asarray(value), actions,
                 np.asarray(logprob), np.asarray(r),
                 np.asarray(d, np.float32), np.asarray(env_id),
-                np.asarray(mask))
+                np.asarray(mask),
+                lstm_h_prev=None if lstm_h_prev is None
+                    else np.asarray(lstm_h_prev),
+                lstm_c_prev=None if lstm_c_prev is None
+                    else np.asarray(lstm_c_prev))
             for i in info:
                 for k, v in unroll_nested_dict(i):
                     infos[k].append(v)
@@ -238,30 +262,47 @@ def train(data):
         returns = advantages + values_np
 
         h = config.bptt_horizon
-        b = experience.b_idxs  # (M, rows, h) indices into unsorted rows
-        M, rows = b.shape[0], b.shape[1]
-        S = M * rows
+        M = experience.num_minibatches
+        S = M * experience.minibatch_rows
+        # minibatch-major segment order so the epoch runner's contiguous
+        # reshape reproduces exactly these minibatches
         sorted_pos = np.arange(experience.batch_size).reshape(
-            experience.minibatch_rows, M, h).transpose(1, 0, 2)
-
-        def seg(x_sorted):
-            # minibatch-major segments so the epoch runner's contiguous
-            # reshape reproduces exactly these minibatches
-            return x_sorted[sorted_pos.reshape(S, h)]
+            experience.minibatch_rows, M, h).transpose(1, 0, 2
+            ).reshape(S, h)
+        row_idx = idxs[sorted_pos]  # (S, h) direct rows, ONE gather each
 
         seg_batch = dict(
-            obs=experience.obs[idxs][sorted_pos.reshape(S, h)],
-            action=experience.actions[idxs][sorted_pos.reshape(S, h)],
-            logprob=experience.logprobs[idxs][sorted_pos.reshape(S, h)],
-            value=values_np[sorted_pos.reshape(S, h)],
-            advantages=advantages[sorted_pos.reshape(S, h)],
-            returns=returns[sorted_pos.reshape(S, h)],
+            obs=experience.obs[row_idx],
+            action=experience.actions[row_idx],
+            logprob=experience.logprobs[row_idx],
+            value=values_np[sorted_pos],
+            advantages=advantages[sorted_pos],
+            returns=returns[sorted_pos],
         )
         if experience.lstm_h is not None:
             layers = experience.lstm_h.shape[0]
             hidden = experience.lstm_h.shape[2]
-            seg_batch['lstm_h'] = np.zeros((S, layers, hidden), np.float32)
-            seg_batch['lstm_c'] = np.zeros((S, layers, hidden), np.float32)
+            lstm_h_seg = np.zeros((S, layers, hidden), np.float32)
+            lstm_c_seg = np.zeros((S, layers, hidden), np.float32)
+            # each segment starts from the state the rollout actually
+            # had there. After the (agent, time) sort an agent's rows
+            # are contiguous; rank within the agent's block // h is the
+            # segment index keyed in lstm_snap.
+            agents_sorted = np.asarray(
+                [k[0] for k in experience.sorted_keys])
+            change = np.r_[True, agents_sorted[1:] != agents_sorted[:-1]]
+            group_start = np.maximum.accumulate(
+                np.where(change, np.arange(len(agents_sorted)), 0))
+            rank = np.arange(len(agents_sorted)) - group_start
+            for s_i in range(S):
+                p0 = sorted_pos[s_i, 0]
+                agent = int(agents_sorted[p0])
+                snap = experience.lstm_snap.get((agent, int(rank[p0]) // h))
+                if snap is not None:
+                    lstm_h_seg[s_i], lstm_c_seg[s_i] = snap
+            seg_batch['lstm_h'] = lstm_h_seg
+            seg_batch['lstm_c'] = lstm_c_seg
+            experience.lstm_snap = {}
 
         lr = config.learning_rate
         if config.anneal_lr:
@@ -295,6 +336,8 @@ def train(data):
                 print(f'epoch {data.epoch} step {data.global_step} '
                     f'SPS {profile.SPS:.3g} ' + ' '.join(
                     f'{k}={v:.3f}' for k, v in data.stats.items()))
+            from pufferlib_tpu.training.ppo import _log_wandb
+            _log_wandb(data)
         if data.epoch % config.checkpoint_interval == 0 or done_training:
             ckpt.save_checkpoint(data)
 

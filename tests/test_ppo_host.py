@@ -71,3 +71,23 @@ def test_host_trainer_learns_cartpole():
         lengths.append(1.0 - data.experience.dones.mean())
     assert np.mean(lengths[-5:]) > np.mean(lengths[:5])
     ppo_host.close(data)
+
+
+def test_recurrent_segments_start_from_rollout_state():
+    """BPTT minibatches must start from the LSTM state the rollout had
+    at each segment boundary, not zeros (device-path parity; regression
+    for silently-biased PPO ratios)."""
+    import jax.numpy as jnp
+    from pufferlib_tpu.models import Default, LSTMWrapper, RecurrentPolicy
+
+    data = make_data(recurrent=True, batch_size=512,
+        total_timesteps=10 ** 9)
+    ppo_host.evaluate(data)
+    exp = data.experience
+    assert exp.lstm_snap, 'no LSTM segment snapshots captured'
+    # later segments (t>0) must have nonzero states once the LSTM ran
+    nonzero = [k for k, (h, c) in exp.lstm_snap.items()
+        if k[1] > 0 and np.abs(h).sum() > 0]
+    assert nonzero, 'segment snapshots are all zeros'
+    ppo_host.train(data)
+    assert np.isfinite(data.losses.policy_loss)
