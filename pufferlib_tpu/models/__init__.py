@@ -192,6 +192,21 @@ class LSTMWrapper(nn.Module):
             if use_pallas is None:
                 use_pallas = (jax.default_backend() == 'tpu' and T > 1
                     and B % 8 == 0)
+            if T == 1:
+                # rollout fast path: one cell step, no scan machinery
+                gates = (x_proj[:, 0].astype(jnp.float32)
+                    + (h0[layer].astype(cdt) @ w_hh.astype(cdt)
+                    ).astype(jnp.float32))
+                i, f, g, o = jnp.split(gates, 4, axis=-1)
+                i, f, o = (jax.nn.sigmoid(i), jax.nn.sigmoid(f),
+                    jax.nn.sigmoid(o))
+                g = jnp.tanh(g)
+                c_fin = f * c0[layer] + i * g
+                h_fin = o * jnp.tanh(c_fin)
+                layer_in = h_fin[:, None, :]
+                hs.append(h_fin)
+                cs.append(c_fin)
+                continue
             xp_t = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 4H)
             if use_pallas:
                 from pufferlib_tpu.ops.pallas.lstm import lstm_scan
