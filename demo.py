@@ -125,9 +125,57 @@ def train(args, env_module, creator):
     return data
 
 
+def _render_frame(vecenv):
+    """Fetch one frame from either engine: device Serial exposes
+    `env.render(state)` over jax states; host backends expose the
+    gymnasium-style `driver_env.render()` (ansi str or rgb ndarray)."""
+    env = getattr(vecenv, 'env', None)
+    if env is not None and hasattr(env, 'render') \
+            and getattr(vecenv, '_states', None):
+        try:
+            return env.render(vecenv._states[0])
+        except NotImplementedError:
+            return None
+    driver = getattr(vecenv, 'driver_env', None)
+    if driver is not None and hasattr(driver, 'render'):
+        try:
+            return driver.render()
+        except Exception:
+            return None
+    return None
+
+
+def _show_frame(frame, step, save_dir=None):
+    """Display a frame: ansi strings to the terminal, rgb arrays via cv2
+    when present else saved as PNGs (reference clean_pufferl.py:571-594
+    renders ansi AND rgb via cv2)."""
+    if frame is None:
+        return
+    if isinstance(frame, str):
+        print('\033[0;0H' + frame + '\n')
+        return
+    frame = np.asarray(frame)
+    try:
+        import cv2
+        cv2.imshow('frame', frame[..., ::-1] if frame.ndim == 3 else frame)
+        cv2.waitKey(1)
+    except ImportError:
+        if save_dir:
+            os.makedirs(save_dir, exist_ok=True)
+            try:
+                from PIL import Image
+                Image.fromarray(frame).save(
+                    os.path.join(save_dir, f'frame_{step:06d}.png'))
+            except ImportError:
+                np.save(os.path.join(save_dir, f'frame_{step:06d}.npy'),
+                    frame)
+
+
 def evaluate(args, env_module, creator):
     """Render rollout with a trained policy (reference
-    clean_pufferl.py:551-594)."""
+    clean_pufferl.py:551-594). Works for both device (jax) and host
+    (external CPU) envs; rgb frames go through cv2 when available,
+    else into PUFFER_FRAME_DIR."""
     import jax
     from pufferlib_tpu.config.cli import make_policy
     from pufferlib_tpu.models import RecurrentPolicy
@@ -150,13 +198,10 @@ def evaluate(args, env_module, creator):
 
     recurrent = isinstance(policy, RecurrentPolicy)
     frames = int(os.environ.get('PUFFER_EVAL_STEPS', 10 ** 9))
-    for _ in range(frames):
-        env = vecenv.env
-        if hasattr(env, 'render') and vecenv._states:
-            try:
-                print('\033[0;0H' + env.render(vecenv._states[0]) + '\n')
-            except NotImplementedError:
-                pass
+    delay = float(os.environ.get('PUFFER_EVAL_DELAY', 0.3))
+    save_dir = os.environ.get('PUFFER_FRAME_DIR')
+    for step in range(frames):
+        _show_frame(_render_frame(vecenv), step, save_dir)
         key, sub = jax.random.split(key)
         if recurrent:
             action, _, _, _, state = policy(params, obs, state, key=sub)
@@ -164,7 +209,8 @@ def evaluate(args, env_module, creator):
             action, _, _, _ = policy(params, obs, key=sub)
         obs, reward = vecenv.step(np.asarray(action))[:2]
         print(f'Reward: {float(np.mean(reward)):.4f}')
-        time.sleep(0.3)
+        time.sleep(delay)
+    vecenv.close()
 
 
 def autotune(args, env_module, creator, epochs=8):

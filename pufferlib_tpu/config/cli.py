@@ -170,11 +170,15 @@ def make_policy(vecenv, env_module, args):
             **policy_kwargs)
 
     if args.use_rnn:
-        hidden = dict(args.rnn).get('hidden_size',
+        # seed LSTM kwargs from the env package's Recurrent dict
+        # (reference demo.py:103-108 reads env_module.Recurrent), then
+        # config.yaml rnn section / --rnn.x flags override
+        rnn_kwargs = dict(getattr(env_module, 'Recurrent', None) or {})
+        rnn_kwargs.update(dict(args.rnn))
+        hidden = rnn_kwargs.pop('hidden_size',
             dict(args.policy).get('hidden_size', 128))
+        rnn_kwargs.setdefault('input_size', hidden)
         module = LSTMWrapper(policy=module, obs_shape=obs_shape,
-            input_size=hidden, hidden_size=hidden,
-            **{k: v for k, v in dict(args.rnn).items()
-                if k != 'hidden_size'})
+            hidden_size=hidden, **rnn_kwargs)
         return RecurrentPolicy(module)
     return Policy(module)

@@ -16,10 +16,19 @@ Contracts mirrored (file:line are reference citations):
   alignment-rounded byte offsets)
 - emulate/nativize     emulation.py:16-61   (numpy host versions)
 """
+import os
+
 import numpy as np
 
 from pufferlib_tpu import spaces
 from pufferlib_tpu.namespace import namespace
+
+
+def _check_int64_fits(ok):
+    if not bool(ok):
+        raise ValueError(
+            'int64 obs leaf holds values outside 32-bit range; enable '
+            'jax_enable_x64 or keep env values within int32')
 
 
 # --------------------------------------------------------------------------
@@ -275,6 +284,9 @@ def nativize_tensor(observation, native_dtype):
             # 64-bit leaves without x64 mode: reconstruct from the low
             # 32-bit word (little-endian). Values must fit 32 bits —
             # true for the NetHack/NMMO-class spaces that use i64.
+            # PUFFER_CHECK_INT64=1 inserts a runtime guard that the high
+            # word is the sign extension of the low word (debug only —
+            # the host callback syncs the device).
             if dtype.kind not in 'iu':
                 raise ValueError(
                     f'float64 obs leaf requires jax_enable_x64 ({dtype})')
@@ -284,7 +296,14 @@ def nativize_tensor(observation, native_dtype):
             n = delta // 8
             chunk = chunk.reshape(observation.shape[0], n, 2, 4)
             chunk = lax.bitcast_convert_type(chunk, jnp.dtype(dtype32))
-            return chunk[..., 0].reshape(observation.shape[0], *shape)
+            low = chunk[..., 0]
+            if os.environ.get('PUFFER_CHECK_INT64'):
+                high = chunk[..., 1]
+                expect = (low.astype(jnp.int32) >> 31).astype(high.dtype) \
+                    if dtype.kind == 'i' else jnp.zeros_like(high)
+                jax.debug.callback(_check_int64_fits, jnp.all(
+                    high == expect), ordered=False)
+            return low.reshape(observation.shape[0], *shape)
         chunk = lax.slice_in_dim(observation, offset, offset + delta, axis=1)
         if observation.dtype.itemsize == 1 and dtype.itemsize != 1:
             # bytes -> typed: group trailing bytes then bitcast away the

@@ -23,14 +23,22 @@ def make(name='BreakoutNoFrameskip-v4', framestack=1, render_mode=None):
         raise ImportError(
             'Atari requires ale-py, which is not in this image') from e
     from gymnasium.wrappers import (
-        AtariPreprocessing, FrameStackObservation, TransformReward)
+        AtariPreprocessing, FrameStackObservation)
+    from pufferlib_tpu.environments.atari.wrappers import (
+        ClipRewardEnv, EpisodicLifeEnv, FireResetEnv, needs_fire_reset)
     from pufferlib_tpu.host_env import GymnasiumPufferEnv
     from pufferlib_tpu.postprocess import EpisodeStats
 
     env = gymnasium.make(name, render_mode=render_mode)
+    # AtariPreprocessing supplies noop reset, frame skip w/ max-pool,
+    # 84x84 grayscale; EpisodicLife/FireReset/sign-ClipReward are ours
+    # (reference SB3 stack, atari/environment.py:17-41)
     env = AtariPreprocessing(env, noop_max=30, frame_skip=4,
-        screen_size=84, terminal_on_life_loss=True, grayscale_obs=True)
-    env = TransformReward(env, lambda r: max(-1.0, min(1.0, r)))
+        screen_size=84, terminal_on_life_loss=False, grayscale_obs=True)
+    env = EpisodicLifeEnv(env)
+    if needs_fire_reset(env):
+        env = FireResetEnv(env)
+    env = ClipRewardEnv(env)
     if framestack > 1:
         env = FrameStackObservation(env, framestack)
     env = EpisodeStats(env)

@@ -62,6 +62,26 @@ class DmControlToGymnasium:
         self._env.close()
 
 
+def _parse_name(name, suite):
+    """Split 'domain-task' (or fully-underscored 'domain_task') into a
+    valid (domain, task) pair. Domains may themselves contain
+    underscores ('ball_in_cup-catch'), so validate candidates against
+    the suite's domain list instead of splitting blindly."""
+    domains = {d for d, _ in suite.ALL_TASKS}
+    if '-' in name:
+        domain, task = name.split('-', 1)
+        if domain in domains:
+            return domain, task.replace('-', '_')
+    parts = name.replace('-', '_').split('_')
+    for i in range(len(parts) - 1, 0, -1):
+        domain = '_'.join(parts[:i])
+        if domain in domains:
+            return domain, '_'.join(parts[i:])
+    raise ValueError(
+        f'cannot parse dm_control name {name!r}; known domains: '
+        f'{sorted(domains)}')
+
+
 def make(name='walker-walk', bins=7, render_mode=None):
     try:
         from dm_control import suite
@@ -70,8 +90,8 @@ def make(name='walker-walk', bins=7, render_mode=None):
     from pufferlib_tpu.host_env import GymnasiumPufferEnv
     from pufferlib_tpu.postprocess import EpisodeStats
 
-    domain, task = name.replace('_', '-').split('-', 1)
-    env = suite.load(domain, task.replace('-', '_'))
+    domain, task = _parse_name(name, suite)
+    env = suite.load(domain, task)
     env = DmControlToGymnasium(env, bins=bins)
     env = EpisodeStats(env)
     return GymnasiumPufferEnv(env=env)

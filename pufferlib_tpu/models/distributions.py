@@ -18,24 +18,34 @@ def log_prob(logits, value):
     logp = jax.nn.log_softmax(logits, axis=-1)
     onehot = jax.nn.one_hot(value.astype(jnp.int32), logits.shape[-1],
         dtype=logp.dtype)
-    return jnp.sum(logp * onehot, axis=-1)
+    # where instead of multiply: -inf-masked logits would give 0*-inf=NaN
+    return jnp.sum(jnp.where(onehot != 0, logp, 0), axis=-1)
 
 
 def entropy(logits):
     """Entropy of a categorical given unnormalized logits (B, A)."""
     logp = jax.nn.log_softmax(logits, axis=-1)
     p = jnp.exp(logp)
-    return -jnp.sum(p * logp, axis=-1)
+    # p=0 terms contribute 0 (not 0*-inf=NaN) under -inf action masks
+    return -jnp.sum(jnp.where(p > 0, p * logp, 0), axis=-1)
 
 
 def _sample_categorical(key, logits):
     """Inverse-CDF categorical sample: ONE uniform per row instead of
     gumbel's A uniforms + logs (jax.random.categorical). On the rollout
-    hot path the RNG bits dominate for small A."""
-    probs = jax.nn.softmax(logits, axis=-1)
+    hot path the RNG bits dominate for small A.
+
+    Zero-probability safety (masked -inf logits, e.g. open_spiel):
+    the cdf is accumulated in f32, u is scaled by cdf[-1] so rounding
+    can never push it past the last positive-probability segment, and
+    `cdf <= u` tie semantics skip flat (zero-probability) segments —
+    index k is selected iff cdf[k-1] <= u < cdf[k], an empty interval
+    whenever p_k == 0."""
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     cdf = jnp.cumsum(probs, axis=-1)
-    u = jax.random.uniform(key, logits.shape[:-1], dtype=probs.dtype)
-    return jnp.sum((u[..., None] > cdf).astype(jnp.int32), axis=-1).clip(
+    u = jax.random.uniform(key, logits.shape[:-1], dtype=jnp.float32)
+    u = u[..., None] * cdf[..., -1:]
+    return jnp.sum((cdf <= u).astype(jnp.int32), axis=-1).clip(
         0, logits.shape[-1] - 1)
 
 

@@ -56,3 +56,22 @@ def test_inverse_cdf_sampling_distribution():
     counts = np.bincount(np.asarray(a), minlength=4) / a.shape[0]
     probs = np.asarray(jax.nn.softmax(logits[0]))
     assert np.abs(counts - probs).max() < 0.01, (counts, probs)
+
+
+def test_masked_logits_never_sample_zero_probability():
+    """-inf-masked actions (action-masked envs, e.g. open_spiel) must
+    never be sampled, including at CDF tie boundaries: masked entries
+    produce flat (empty) CDF segments that the `cdf <= u` semantics
+    skip (ADVICE r1: inverse-CDF boundary hazard)."""
+    neg = -jnp.inf
+    # mask the first, an interior, and the last action
+    logits = jnp.asarray([[neg, 1.0, neg, 0.5, neg]])
+    logits = jnp.repeat(logits, 100_000, axis=0)
+    a, lp, _ = sample_logits(logits, key=jax.random.PRNGKey(1))
+    a = np.asarray(a)
+    assert set(np.unique(a)) <= {1, 3}
+    assert np.all(np.isfinite(np.asarray(lp)))
+    # bf16 logits follow the same path (cdf is accumulated in f32)
+    a16, _, _ = sample_logits(logits.astype(jnp.bfloat16),
+        key=jax.random.PRNGKey(2))
+    assert set(np.unique(np.asarray(a16))) <= {1, 3}
