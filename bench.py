@@ -5,9 +5,12 @@ PPO update, all on device) — the analog of the reference's envpool SPS
 numbers (BASELINE.md). Baseline target: 10M env-steps/s on one host
 (driver north star).
 
-Prints ONE JSON line:
+Prints one JSON line per metric; the HEADLINE (MLP) line is printed
+LAST. Default run emits both the LSTM and MLP numbers:
+  {"metric": "ocean_squared_ppo_lstm_sps", ...}
   {"metric": "ocean_squared_ppo_sps", "value": N, "unit": "steps/s",
    "vs_baseline": N/1e7}
+Set BENCH_ONLY=mlp|lstm to run a single metric.
 """
 import json
 import os
@@ -16,16 +19,8 @@ import time
 BASELINE_SPS = 10_000_000.0
 
 
-def main():
-    smoke = os.environ.get('BENCH_SMOKE') == '1'
-    if smoke:
-        os.environ.setdefault(
-            'XLA_FLAGS', '--xla_force_host_platform_device_count=8')
-
-    import jax
-    if smoke:
-        jax.config.update('jax_platforms', 'cpu')
-
+def run_one(use_rnn, smoke):
+    import jax.numpy as jnp
     import pufferlib_tpu.vector as vector
     from pufferlib_tpu.models import Default, Policy
     from pufferlib_tpu.ocean import env_creator
@@ -43,9 +38,7 @@ def main():
     vecenv = vector.make(env_creator('squared'),
         env_kwargs=dict(distance_to_target=3, num_targets=1),
         backend=vector.Device, num_envs=num_envs)
-    import jax.numpy as jnp
     dtype = jnp.dtype(os.environ.get('BENCH_DTYPE', 'bfloat16')).type
-    use_rnn = os.environ.get('BENCH_RNN') == '1'
     obs_shape = vecenv.single_observation_space.shape
     module = Default(obs_shape=obs_shape,
         action_space=vecenv.single_action_space, hidden_size=hidden,
@@ -91,12 +84,33 @@ def main():
     sps = epochs * batch_size / elapsed
     metric = 'ocean_squared_ppo_lstm_sps' if use_rnn \
         else 'ocean_squared_ppo_sps'
-    print(json.dumps({
+    vecenv.close()
+    return {
         'metric': metric,
         'value': round(sps, 1),
         'unit': 'steps/s',
         'vs_baseline': round(sps / BASELINE_SPS, 4),
-    }))
+    }
+
+
+def main():
+    smoke = os.environ.get('BENCH_SMOKE') == '1'
+    if smoke:
+        os.environ.setdefault(
+            'XLA_FLAGS', '--xla_force_host_platform_device_count=8')
+
+    import jax
+    if smoke:
+        jax.config.update('jax_platforms', 'cpu')
+
+    only = os.environ.get('BENCH_ONLY')
+    if os.environ.get('BENCH_RNN') == '1':  # legacy spelling
+        only = 'lstm'
+    # headline (MLP) metric printed LAST so a last-line parser records it
+    if only != 'mlp':
+        print(json.dumps(run_one(use_rnn=True, smoke=smoke)), flush=True)
+    if only != 'lstm':
+        print(json.dumps(run_one(use_rnn=False, smoke=smoke)), flush=True)
 
 
 if __name__ == '__main__':

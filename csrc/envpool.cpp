@@ -21,12 +21,13 @@ extern "C" {
 // Spin until `needed` workers' semaphore bytes are in {MAIN=5, INFO=6}.
 // Writes the ready worker indices to out_indices and returns the count.
 // timeout_us < 0 means spin forever. Busy-spins for spin_us, then naps.
+// spin_us = 0 naps from the start (oversubscribed hosts: hot-spinning
+// the driver starves the workers when cores < workers).
 int wait_ready(volatile uint8_t* semaphores, int num_workers,
         const int32_t* candidates, int num_candidates, int needed,
-        int32_t* out_indices, int64_t timeout_us) {
+        int32_t* out_indices, int64_t timeout_us, int64_t spin_us) {
     constexpr uint8_t MAIN = 5;
     constexpr uint8_t INFO = 6;
-    constexpr int64_t spin_us = 500000;  // 0.5 s hot spin, then 10 ms naps
 
     auto start = std::chrono::steady_clock::now();
     int found = 0;
@@ -51,7 +52,10 @@ int wait_ready(volatile uint8_t* semaphores, int num_workers,
             std::chrono::microseconds>(now - start).count();
         if (timeout_us >= 0 && waited > timeout_us) return -1;
         if (waited > spin_us) {
-            std::this_thread::sleep_for(std::chrono::milliseconds(10));
+            // oversubscribed mode (spin_us == 0) naps short so step
+            // latency stays sub-millisecond; cooled-down mode naps long
+            std::this_thread::sleep_for(std::chrono::microseconds(
+                spin_us == 0 ? 200 : 10000));
         } else {
             std::this_thread::yield();
         }

@@ -12,10 +12,21 @@ __version__ = '0.1.0'
 
 from pufferlib_tpu.namespace import Namespace, namespace, dataclass
 from pufferlib_tpu.exceptions import APIUsageError, InvalidAgentError
-from pufferlib_tpu.environment import PufferEnv, Step, EpisodeStats
 
 __all__ = [
     'Namespace', 'namespace', 'dataclass',
     'APIUsageError', 'InvalidAgentError',
     'PufferEnv', 'Step', 'EpisodeStats',
 ]
+
+_LAZY = {'PufferEnv', 'Step', 'EpisodeStats'}
+
+
+def __getattr__(name):
+    # PufferEnv/Step/EpisodeStats pull in jax; deferring them keeps the
+    # host-only import chain (vector_host worker processes, emulation)
+    # jax-free — spawned envpool workers start ~10x faster
+    if name in _LAZY:
+        from pufferlib_tpu import environment
+        return getattr(environment, name)
+    raise AttributeError(f'module {__name__!r} has no attribute {name!r}')

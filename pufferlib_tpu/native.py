@@ -39,7 +39,7 @@ def load():
         lib.wait_ready.restype = ctypes.c_int
         lib.wait_ready.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
-            ctypes.c_int, ctypes.c_void_p, ctypes.c_int64]
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
         lib.gather_blocks.restype = None
         lib.gather_blocks.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -55,15 +55,18 @@ def load():
     return _LIB
 
 
-def wait_ready(lib, sem_arr, candidates, needed, timeout_us=-1):
+def wait_ready(lib, sem_arr, candidates, needed, timeout_us=-1,
+        spin_us=500_000):
     """Spin (GIL released inside C) until `needed` of `candidates` are
-    ready; returns their indices in completion order."""
+    ready; returns their indices in completion order. spin_us=0 naps
+    from the start — required when workers outnumber cores, where a
+    hot-spinning driver starves the workers it is waiting on."""
     candidates = np.ascontiguousarray(candidates, dtype=np.int32)
     out = np.empty(needed, dtype=np.int32)
     n = lib.wait_ready(
         sem_arr.ctypes.data, len(sem_arr),
         candidates.ctypes.data, len(candidates), needed,
-        out.ctypes.data, timeout_us)
+        out.ctypes.data, timeout_us, spin_us)
     if n < 0:
         raise TimeoutError('wait_ready timed out')
     return out[:n]

@@ -48,8 +48,11 @@ def _fwd_kernel(xp_ref, h0_ref, c0_ref, whh_ref, outs_ref, ht_ref,
         i, f, g, o = _gates(xp_ref[t].astype(jnp.float32), h, w_hh, cdt)
         c = f * c + i * g
         h = o * jnp.tanh(c)
-        outs_ref[t] = h
-        cseq_ref[t] = c
+        # residual streams persist in the output dtype (bf16 in mixed
+        # precision — halves the fwd writes and bwd reads); the carried
+        # h/c stay f32 inside the loop
+        outs_ref[t] = h.astype(outs_ref.dtype)
+        cseq_ref[t] = c.astype(cseq_ref.dtype)
         return (h, c)
 
     h, c = jax.lax.fori_loop(0, T, body, (h0_ref[:], c0_ref[:]))
@@ -68,7 +71,7 @@ def _fwd_kernel_noresid(xp_ref, h0_ref, c0_ref, whh_ref, outs_ref,
         i, f, g, o = _gates(xp_ref[t].astype(jnp.float32), h, w_hh, cdt)
         c = f * c + i * g
         h = o * jnp.tanh(c)
-        outs_ref[t] = h
+        outs_ref[t] = h.astype(outs_ref.dtype)
         return (h, c)
 
     h, c = jax.lax.fori_loop(0, T, body, (h0_ref[:], c0_ref[:]))
@@ -90,15 +93,15 @@ def _bwd_kernel(xp_ref, h0_ref, c0_ref, whh_ref, outs_ref, cseq_ref,
         t = T - 1 - k
         dh, dc, dw = carry
         h_prev = jnp.where(t == 0, h0_ref[:], outs_ref[pl.ds(
-            jnp.maximum(t - 1, 0), 1)][0])
+            jnp.maximum(t - 1, 0), 1)][0].astype(jnp.float32))
         c_prev = jnp.where(t == 0, c0_ref[:], cseq_ref[pl.ds(
-            jnp.maximum(t - 1, 0), 1)][0])
-        c_t = cseq_ref[t]
+            jnp.maximum(t - 1, 0), 1)][0].astype(jnp.float32))
+        c_t = cseq_ref[t].astype(jnp.float32)
 
         i, f, g, o = _gates(
             xp_ref[t].astype(jnp.float32), h_prev, w_hh, cdt)
 
-        dh = dh + g_outs_ref[t]
+        dh = dh + g_outs_ref[t].astype(jnp.float32)
         tc = jnp.tanh(c_t)
         do = dh * tc
         dc = dc + dh * o * (1.0 - tc * tc)
@@ -149,12 +152,16 @@ def _lstm_fwd_impl(x_proj, h0, c0, w_hh, cdt, with_cseq=True):
     assert bt is not None, f'batch {B} not tileable'
     grid = (B // bt,)
     vm = pltpu.VMEM
+    # residual h/c sequences stream in bf16 under mixed precision:
+    # halves the fwd HBM writes and the bwd reads (in-kernel carries
+    # and the returned hT/cT stay f32)
+    rdt = jnp.bfloat16 if cdt == jnp.bfloat16 else jnp.float32
     seq_spec = pl.BlockSpec((T, bt, H), lambda b: (0, b, 0),
         memory_space=vm)
     state_spec = pl.BlockSpec((bt, H), lambda b: (b, 0), memory_space=vm)
     out_specs = [seq_spec, state_spec, state_spec]
     out_shape = [
-        jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+        jax.ShapeDtypeStruct((T, B, H), rdt),
         jax.ShapeDtypeStruct((B, H), jnp.float32),
         jax.ShapeDtypeStruct((B, H), jnp.float32),
     ]
@@ -162,7 +169,7 @@ def _lstm_fwd_impl(x_proj, h0, c0, w_hh, cdt, with_cseq=True):
         kernel = functools.partial(_fwd_kernel, T=T, cdt=cdt)
         out_specs = out_specs + [seq_spec]
         out_shape = out_shape + [
-            jax.ShapeDtypeStruct((T, B, H), jnp.float32)]
+            jax.ShapeDtypeStruct((T, B, H), rdt)]
     else:
         kernel = functools.partial(_fwd_kernel_noresid, T=T, cdt=cdt)
     res = pl.pallas_call(

@@ -26,15 +26,20 @@ def init_distributed(coordinator_address=None, num_processes=None,
     """Initialize jax.distributed (no-op when already initialized or
     running single-process). Values default to the JAX_* env vars /
     TPU metadata, matching `jax.distributed.initialize` semantics."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    # NOTE: do not touch jax.process_count()/jax.devices() here — any
+    # backend query initializes the runtime and initialize() must run
+    # before that
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id)
-    except (ValueError, RuntimeError):
-        # single-process run (tests, one host): nothing to do
-        pass
+    except (ValueError, RuntimeError) as e:
+        if 'already initialized' in str(e).lower():
+            return
+        if coordinator_address is None:
+            # single-process run (tests, one host): nothing to do
+            return
+        raise
 
 
 def global_mesh(axis='env', devices=None):

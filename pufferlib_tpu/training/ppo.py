@@ -40,6 +40,7 @@ from pufferlib_tpu.models import Policy, RecurrentPolicy, count_params
 from pufferlib_tpu.namespace import namespace
 from pufferlib_tpu.ops import compute_gae, ppo_losses
 from pufferlib_tpu.training import checkpoint as ckpt
+from pufferlib_tpu.training import media
 from pufferlib_tpu.training.profile import Profile, make_losses
 from pufferlib_tpu.utils import profile as profile_deco
 from pufferlib_tpu.vector import make_env_ops
@@ -70,6 +71,9 @@ def default_config(**overrides):
         minibatch_size=8192,
         bptt_horizon=16,
         shuffle_minibatches=False,
+        # host trainer only: keep the obs batch in host RAM and ship
+        # one minibatch per update (reference clean_pufferl.py:388-391)
+        cpu_offload=False,
         checkpoint_interval=200,
         device='tpu',
         compile=True,
@@ -345,60 +349,73 @@ def make_rollout_fn(policy, step_batch, config, T, mask_fn=None):
     return rollout
 
 
+def make_minibatch_update(policy, tx, config, seg_rows):
+    """One PPO minibatch update: (params, opt_state, mb, lr) ->
+    (params, opt_state, stats). mb is a dict of (rows, h, ...) arrays.
+    Shared by the fused epoch runner and the cpu_offload host path
+    (which jits this alone and streams minibatches from host RAM)."""
+    recurrent = isinstance(policy, RecurrentPolicy)
+    h = config.bptt_horizon
+
+    def update(params, opt_state, mb, lr):
+        def loss_fn(p):
+            obs = mb['obs']  # (rows, h, numel)
+            action = mb['action'].reshape(
+                (seg_rows * h,) + mb['action'].shape[2:])
+            if recurrent:
+                state = (jnp.moveaxis(mb['lstm_h'], 0, 1),
+                    jnp.moveaxis(mb['lstm_c'], 0, 1))
+                _, newlogprob, entropy, newvalue, _ = policy(
+                    p, obs, state, action=action)
+            else:
+                flat_obs = obs.reshape((seg_rows * h,) + obs.shape[2:])
+                _, newlogprob, entropy, newvalue = policy(
+                    p, flat_obs, action=action)
+            loss, stats = ppo_losses(
+                newlogprob=newlogprob,
+                logprob=mb['logprob'].reshape(-1),
+                entropy=entropy,
+                newvalue=newvalue,
+                values=mb['value'].reshape(-1),
+                advantages=mb['advantages'].reshape(-1),
+                returns=mb['returns'].reshape(-1),
+                clip_coef=config.clip_coef,
+                vf_clip_coef=config.vf_clip_coef,
+                vf_coef=config.vf_coef,
+                ent_coef=config.ent_coef,
+                norm_adv=config.norm_adv,
+                clip_vloss=config.clip_vloss,
+                mask=mb['mask'].reshape(-1) if 'mask' in mb else None,
+            )
+            return loss, stats
+
+        grads, stats = jax.grad(loss_fn, has_aux=True)(params)
+        gnorm = optax.global_norm(grads)
+        scale = jnp.minimum(1.0, config.max_grad_norm / (gnorm + 1e-12))
+        grads = jax.tree.map(lambda g: g * scale, grads)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(
+            params, jax.tree.map(lambda u: -lr * u, updates))
+        return new_params, new_opt, stats
+
+    return update
+
+
 def make_epoch_runner(policy, tx, config, seg_rows, num_minibatches, S):
     """The PPO epoch x minibatch scan over pre-segmented data.
 
     seg_batch: dict of (S, h, ...) arrays (obs/action/logprob/value/
     advantages/returns [+ lstm_h/lstm_c (S, layers, H)]). Shared by the
     fused on-device trainer and the host-env trainer (ppo_host)."""
-    recurrent = isinstance(policy, RecurrentPolicy)
-    h = config.bptt_horizon
     has_target_kl = config.target_kl is not None
     target_kl = config.target_kl or 0.0
+    mb_update = make_minibatch_update(policy, tx, config, seg_rows)
 
     def run_epochs(params, opt_state, seg_batch, key, lr):
         def minibatch_step(carry, mb):
             params, opt_state, stop = carry
-
-            def loss_fn(p):
-                obs = mb['obs']  # (rows, h, numel)
-                action = mb['action'].reshape(
-                    (seg_rows * h,) + mb['action'].shape[2:])
-                if recurrent:
-                    state = (jnp.moveaxis(mb['lstm_h'], 0, 1),
-                        jnp.moveaxis(mb['lstm_c'], 0, 1))
-                    _, newlogprob, entropy, newvalue, _ = policy(
-                        p, obs, state, action=action)
-                else:
-                    flat_obs = obs.reshape((seg_rows * h,) + obs.shape[2:])
-                    _, newlogprob, entropy, newvalue = policy(
-                        p, flat_obs, action=action)
-                loss, stats = ppo_losses(
-                    newlogprob=newlogprob,
-                    logprob=mb['logprob'].reshape(-1),
-                    entropy=entropy,
-                    newvalue=newvalue,
-                    values=mb['value'].reshape(-1),
-                    advantages=mb['advantages'].reshape(-1),
-                    returns=mb['returns'].reshape(-1),
-                    clip_coef=config.clip_coef,
-                    vf_clip_coef=config.vf_clip_coef,
-                    vf_coef=config.vf_coef,
-                    ent_coef=config.ent_coef,
-                    norm_adv=config.norm_adv,
-                    clip_vloss=config.clip_vloss,
-                    mask=mb['mask'].reshape(-1) if 'mask' in mb else None,
-                )
-                return loss, stats
-
-            grads, stats = jax.grad(loss_fn, has_aux=True)(params)
-            gnorm = optax.global_norm(grads)
-            scale = jnp.minimum(1.0, config.max_grad_norm / (gnorm + 1e-12))
-            grads = jax.tree.map(lambda g: g * scale, grads)
-            updates, new_opt = tx.update(grads, opt_state, params)
-            new_params = optax.apply_updates(
-                params, jax.tree.map(lambda u: -lr * u, updates))
-
+            new_params, new_opt, stats = mb_update(
+                params, opt_state, mb, lr)
             if has_target_kl:
                 # only pay the whole-tree select when early stop is on
                 new_params = select_tree(stop, params, new_params)
@@ -537,7 +554,11 @@ def evaluate(data):
         info_sums = jax.tree.map(np.asarray, info_sums)
         valid = info_sums.pop('_valid', None)
         denom = float(np.sum(valid)) if valid is not None else episode_count
+        media_keys = media.collect_media_stats(
+            info_sums, stats, data.wandb, data)
         for k, v in info_sums.items():
+            if k in media_keys:
+                continue
             if denom > 0:
                 stats[k] = float(np.sum(v)) / denom
         data.stats = stats
@@ -588,7 +609,7 @@ def train(data):
                     f'SPS {profile.SPS:.3g} '
                     f'loss {losses.policy_loss:.4f} '
                     + ' '.join(f'{k}={v:.3f}' for k, v in
-                        data.stats.items()))
+                        data.stats.items() if isinstance(v, float)))
             if data.wandb is not None and data.global_step > 0 and \
                     time.time() - data.last_log_time > 3.0:
                 data.last_log_time = time.time()
@@ -641,7 +662,8 @@ def step(data):
         elif config.verbose:
             print(f'epoch {data.epoch} step {data.global_step} '
                 f'SPS {data.profile.SPS:.3g} '
-                + ' '.join(f'{k}={v:.3f}' for k, v in data.stats.items()))
+                + ' '.join(f'{k}={v:.3f}' for k, v in data.stats.items()
+                    if isinstance(v, float)))
         _log_wandb(data)
     if data.epoch % config.checkpoint_interval == 0 or done_training:
         ckpt.save_checkpoint(data)
@@ -678,7 +700,8 @@ def step_many(data, epochs):
         elif config.verbose:
             print(f'epoch {data.epoch} step {data.global_step} '
                 f'SPS {data.profile.SPS:.3g} '
-                + ' '.join(f'{k}={v:.3f}' for k, v in data.stats.items()))
+                + ' '.join(f'{k}={v:.3f}' for k, v in data.stats.items()
+                    if isinstance(v, float)))
         _log_wandb(data)
     if done_training or data.epoch % config.checkpoint_interval < epochs:
         ckpt.save_checkpoint(data)
@@ -718,8 +741,12 @@ def _materialize_metrics(data):
     valid = info_sums.pop('_valid', None)
     denom = float(np.sum(valid)) if valid is not None \
         else float(episode_count)
-    data.stats = {k: float(np.sum(v)) / denom
-        for k, v in info_sums.items() if denom > 0}
+    data.stats = {}
+    media_keys = media.collect_media_stats(
+        info_sums, data.stats, data.wandb, data)
+    data.stats.update({k: float(np.sum(v)) / denom
+        for k, v in info_sums.items()
+        if denom > 0 and k not in media_keys})
     data.infos = info_sums
 
 

@@ -25,7 +25,9 @@ from pufferlib_tpu.models import RecurrentPolicy, count_params
 from pufferlib_tpu.namespace import namespace
 from pufferlib_tpu.ops import compute_gae_flat
 from pufferlib_tpu.training import checkpoint as ckpt
-from pufferlib_tpu.training.ppo import make_epoch_runner, default_config
+from pufferlib_tpu.training import media
+from pufferlib_tpu.training.ppo import (
+    default_config, make_epoch_runner, make_minibatch_update)
 from pufferlib_tpu.training.profile import Profile, make_losses
 from pufferlib_tpu.utils import profile as profile_deco, unroll_nested_dict
 
@@ -94,12 +96,12 @@ class Experience:
         self.rewards[ptr:end] = reward[indices]
         self.dones[ptr:end] = done[indices]
         self.sort_keys.extend([(env_id[i], self.step) for i in indices])
-        if self.lstm_h is not None and lstm_h_prev is not None:
+        if self.lstm_h is not None:
             h = self.bptt_horizon
             for i in indices:
                 a = int(env_id[i])
                 t_a = self.agent_step.get(a, 0)
-                if t_a % h == 0:
+                if t_a % h == 0 and lstm_h_prev is not None:
                     self.lstm_snap[(a, t_a // h)] = (
                         np.asarray(lstm_h_prev[:, a]),
                         np.asarray(lstm_c_prev[:, a]))
@@ -156,6 +158,11 @@ def create(config, vecenv, policy, wandb=None):
     S = experience.num_minibatches * seg_rows
     run_epochs = jax.jit(make_epoch_runner(policy, tx, config, seg_rows,
         experience.num_minibatches, S), donate_argnums=(0, 1))
+    # cpu_offload: jit the single-minibatch update; train() streams
+    # minibatches from host RAM instead of shipping the whole batch
+    run_minibatch = jax.jit(make_minibatch_update(
+        policy, tx, config, seg_rows), donate_argnums=(0, 1)) \
+        if config.get('cpu_offload') else None
 
     if recurrent:
         def forward(params, obs, h, c, env_id, key):
@@ -180,6 +187,7 @@ def create(config, vecenv, policy, wandb=None):
         experience=experience,
         forward_fn=jax.jit(forward),
         run_epochs=run_epochs,
+        run_minibatch=run_minibatch,
         key=key,
         profile=Profile(),
         losses=make_losses(),
@@ -202,32 +210,47 @@ def evaluate(data):
     config, profile, experience = data.config, data.profile, data.experience
     infos = defaultdict(list)
 
+    bptt = config.bptt_horizon
     while not experience.full:
         with profile.env:
             o, r, d, t, info, env_id, mask = data.vecenv.recv()
 
         with profile.eval_misc:
             data.global_step += int(np.sum(mask))
+            # LSTM segment-start snapshots are only consumed when some
+            # incoming agent sits at a BPTT boundary — known on the host
+            # BEFORE the forward, so the (layers, agents, hidden) state
+            # fetch can be skipped on all other steps
+            need_snap = experience.lstm_h is not None and any(
+                experience.agent_step.get(int(a), 0) % bptt == 0
+                for a in env_id)
+            lstm_h_prev, lstm_c_prev = (experience.lstm_h,
+                experience.lstm_c)
 
         with profile.eval_forward:
             data.key, sub = jax.random.split(data.key)
-            lstm_h_prev, lstm_c_prev = (experience.lstm_h,
-                experience.lstm_c)
             actions, logprob, value, experience.lstm_h, \
                 experience.lstm_c = data.forward_fn(
                     data.params, jnp.asarray(o), experience.lstm_h,
                     experience.lstm_c, jnp.asarray(env_id), sub)
-            actions = np.asarray(actions)
+            # ONE host<->device round trip for everything the host
+            # needs this step (on tunneled TPUs each fetch costs the
+            # full link RTT; separate np.asarray calls here were the
+            # dominant rollout cost)
+            fetch = (actions, logprob, value)
+            if need_snap:
+                fetch = fetch + (lstm_h_prev, lstm_c_prev)
+            fetched = jax.device_get(fetch)
+            actions, logprob, value = fetched[:3]
+            h_prev_np = fetched[3] if need_snap else None
+            c_prev_np = fetched[4] if need_snap else None
 
         with profile.eval_misc:
-            experience.store(np.asarray(o), np.asarray(value), actions,
-                np.asarray(logprob), np.asarray(r),
+            experience.store(np.asarray(o), value, actions,
+                logprob, np.asarray(r),
                 np.asarray(d, np.float32), np.asarray(env_id),
                 np.asarray(mask),
-                lstm_h_prev=None if lstm_h_prev is None
-                    else np.asarray(lstm_h_prev),
-                lstm_c_prev=None if lstm_c_prev is None
-                    else np.asarray(lstm_c_prev))
+                lstm_h_prev=h_prev_np, lstm_c_prev=c_prev_np)
             for i in info:
                 for k, v in unroll_nested_dict(i):
                     infos[k].append(v)
@@ -237,12 +260,51 @@ def evaluate(data):
 
     with profile.eval_misc:
         data.stats = {}
+        # *_map infos become wandb Images (reference
+        # clean_pufferl.py:125-146); media keys skip numeric averaging
+        media_keys = media.collect_media_stats(
+            infos, data.stats, data.wandb, data)
         for k, v in infos.items():
+            if k in media_keys:
+                continue
             try:
                 data.stats[k] = float(np.mean(v))
             except (TypeError, ValueError):
                 continue
     return data.stats, infos
+
+
+def _train_offloaded(data, seg_batch, lr):
+    """cpu_offload update loop (reference clean_pufferl.py:388-391):
+    the (batch, *obs) array stays in host RAM; each minibatch's rows
+    upload on their own dispatch. The async dispatch pipeline overlaps
+    minibatch g+1's upload with minibatch g's compute, so for big-obs
+    envs (Atari-scale) HBM holds only one minibatch of obs at a time."""
+    config, experience = data.config, data.experience
+    rows = experience.minibatch_rows
+    M = experience.num_minibatches
+    lr_dev = jnp.float32(lr)
+    stats_sum = None
+    n = 0
+    for _ in range(config.update_epochs):
+        epoch_stats = None
+        for m in range(M):
+            mb = jax.tree.map(
+                lambda x: jnp.asarray(x[m * rows:(m + 1) * rows]),
+                seg_batch)
+            data.params, data.opt_state, stats = data.run_minibatch(
+                data.params, data.opt_state, mb, lr_dev)
+            epoch_stats = stats
+            stats_sum = stats if stats_sum is None else jax.tree.map(
+                jnp.add, stats_sum, stats)
+            n += 1
+        if config.target_kl is not None:
+            # one scalar fetch per epoch to honor the early stop
+            if float(epoch_stats['approx_kl']) > config.target_kl:
+                break
+    stats = jax.tree.map(lambda x: np.asarray(x) / n, stats_sum)
+    jax.block_until_ready(stats['policy_loss'])
+    return stats
 
 
 @profile_deco
@@ -310,11 +372,14 @@ def train(data):
 
     with profile.learn:
         data.key, update_key = jax.random.split(data.key)
-        seg_batch = jax.tree.map(jnp.asarray, seg_batch)
-        data.params, data.opt_state, stats = data.run_epochs(
-            data.params, data.opt_state, seg_batch, update_key,
-            jnp.float32(lr))
-        jax.block_until_ready(stats['policy_loss'])
+        if data.run_minibatch is not None:
+            stats = _train_offloaded(data, seg_batch, lr)
+        else:
+            seg_batch = jax.tree.map(jnp.asarray, seg_batch)
+            data.params, data.opt_state, stats = data.run_epochs(
+                data.params, data.opt_state, seg_batch, update_key,
+                jnp.float32(lr))
+            jax.block_until_ready(stats['policy_loss'])
 
     with profile.train_misc:
         losses = make_losses()
@@ -335,7 +400,8 @@ def train(data):
             elif config.verbose:
                 print(f'epoch {data.epoch} step {data.global_step} '
                     f'SPS {profile.SPS:.3g} ' + ' '.join(
-                    f'{k}={v:.3f}' for k, v in data.stats.items()))
+                    f'{k}={v:.3f}' for k, v in data.stats.items()
+                    if isinstance(v, float)))
             from pufferlib_tpu.training.ppo import _log_wandb
             _log_wandb(data)
         if data.epoch % config.checkpoint_interval == 0 or done_training:

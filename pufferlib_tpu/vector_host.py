@@ -192,7 +192,7 @@ class HostSerial:
 
 def _worker_process(env_creators, env_args, env_kwargs, envs_per_worker,
         obs_shape, obs_dtype, atn_shape, atn_dtype, agents_per_worker,
-        worker_idx, send_pipe, recv_pipe, shm):
+        worker_idx, send_pipe, recv_pipe, shm, oversubscribed=False):
     """Worker: a HostSerial of envs_per_worker envs writing directly into
     this worker's shared-memory slab; busy-waits its semaphore byte
     (reference vector.py:168-216)."""
@@ -248,6 +248,10 @@ def _worker_process(env_creators, env_args, env_kwargs, envs_per_worker,
             envs.close()
             sem[0] = MAIN
             return
+        elif oversubscribed:
+            # more workers than cores: never hot-spin, the driver and
+            # sibling workers need this core
+            time.sleep(0.0002)
         elif time.time() - start > 0.5:
             time.sleep(0.01)
 
@@ -328,11 +332,24 @@ class HostMultiprocessing:
         self.sem = np.frombuffer(self.shm['semaphores'], dtype=np.uint8)
         self.sem[:] = MAIN
 
+        # oversubscribed hosts (workers + driver > cores): hot spinning
+        # starves the processes being waited on — everyone naps instead
+        import os as _os
+        oversubscribed = num_workers + 1 > (_os.cpu_count() or 1)
+        self._spin_us = 0 if oversubscribed else 500_000
+
         self.processes = []
         self.send_pipes = []
         self.recv_pipes = []
         creators_list = env_creators if isinstance(
             env_creators, (list, tuple)) else None
+        # workers never touch the accelerator: drop TPU plugin paths
+        # (axon sitecustomize) from their env so each spawn skips the
+        # multi-second jax runtime import
+        old_pp = _os.environ.get('PYTHONPATH')
+        if old_pp:
+            _os.environ['PYTHONPATH'] = ':'.join(
+                p for p in old_pp.split(':') if 'axon' not in p)
         for i in range(num_workers):
             # each worker owns its contiguous slice of the creator list
             worker_creators = env_creators if creators_list is None else \
@@ -344,11 +361,14 @@ class HostMultiprocessing:
                 worker_creators, env_args, env_kwargs, envs_per_worker,
                 obs_shape, np.dtype(obs_space.dtype), atn_shape,
                 np.dtype(atn_space.dtype), agents_per_worker, i,
-                worker_send, worker_recv, self.shm), daemon=True)
+                worker_send, worker_recv, self.shm, oversubscribed),
+                daemon=True)
             p.start()
             self.processes.append(p)
             self.send_pipes.append(main_send)
             self.recv_pipes.append(main_recv)
+        if old_pp:
+            _os.environ['PYTHONPATH'] = old_pp
 
         self.agent_ids = np.arange(self.num_agents).reshape(
             num_workers, agents_per_worker)
@@ -398,6 +418,8 @@ class HostMultiprocessing:
                     ready.append(w)
                     if len(ready) == self.workers_per_batch:
                         break
+            if self._spin_us == 0:
+                time.sleep(0.0002)  # oversubscribed: don't hot-spin
             if time.time() - last_alive_check > 1.0:
                 last_alive_check = time.time()
                 self._check_alive()
@@ -417,7 +439,8 @@ class HostMultiprocessing:
             try:
                 ready = self._native.wait_ready(self._lib, self.sem,
                     np.arange(self.num_workers, dtype=np.int32),
-                    self.workers_per_batch, timeout_us=30_000_000)
+                    self.workers_per_batch, timeout_us=30_000_000,
+                    spin_us=self._spin_us)
             except TimeoutError:
                 self._check_alive()
                 raise
@@ -499,50 +522,172 @@ class HostMultiprocessing:
         return self.agents_per_batch
 
 
-def autotune(env_creator, env_args=None, env_kwargs=None, max_envs=64,
-        time_per_config=2.0, batch_fracs=(1.0, 0.5, 0.25)):
-    """Benchmark worker/batch configs for the host envpool and report the
-    max-SPS setting (reference vector.py:669-854). On-host envs only —
-    the device engine's knob is lane count (demo.py --mode autotune)."""
-    import os
-    results = {}
-    cores = os.cpu_count() or 1
-    print(f'{"workers":>8} {"batch":>6} {"SPS":>12}')
-    for workers in (1, 2, 4, 8, cores):
-        if workers > max_envs or workers > 2 * cores:
+def profile_env(env_creator, env_args=None, env_kwargs=None,
+        time_per_test=2.0):
+    """Single-env profile: SPS, step-time std %, reset %, RAM/env and
+    obs bandwidth (reference vector.py:684-737)."""
+    import psutil
+    proc = psutil.Process()
+    load_ram = proc.memory_info().rss
+    env = env_creator(*(env_args or ()), **(env_kwargs or {}))
+    num_agents = getattr(env, 'num_agents', 1)
+    obs_space = getattr(env, 'single_observation_space',
+        env.observation_space)
+    atn_space = getattr(env, 'single_action_space', env.action_space)
+    env.reset(seed=0)
+    actions = [atn_space.sample() for _ in range(1000)]
+
+    steps = 0
+    idle_ram = proc.memory_info().rss
+    step_times, reset_times = [], []
+    done = False
+    start = time.time()
+    while time.time() - start < time_per_test:
+        s = time.time()
+        if done:
+            env.reset()
+            reset_times.append(time.time() - s)
+            done = False
+        else:
+            _, _, term, trunc, _ = env.step(actions[steps % 1000])
+            step_times.append(time.time() - s)
+            done = bool(np.all(term)) or bool(np.all(trunc))
+        steps += 1
+        idle_ram = max(idle_ram, proc.memory_info().rss)
+    env.close()
+
+    sum_time = sum(step_times) + sum(reset_times)
+    sps = steps * num_agents / max(sum_time, 1e-9)
+    obs_size_gb = (np.prod(obs_space.shape)
+        * np.dtype(obs_space.dtype).itemsize * num_agents / 1e9)
+    cores = psutil.cpu_count(logical=False) or 1
+    prof = namespace(
+        sps=sps,
+        step_std_pct=100 * float(np.std(step_times))
+            / max(float(np.mean(step_times)), 1e-9) if step_times else 0.0,
+        reset_pct=100 * sum(reset_times) / max(sum_time, 1e-9),
+        ram_gb_per_env=max(1, idle_ram - load_ram) / 1e9,
+        obs_size_gb=obs_size_gb,
+        bandwidth_gbs=obs_size_gb * sps,
+        num_cores=cores,
+        num_agents=num_agents,
+    )
+    prof.throughput_gbs = prof.bandwidth_gbs * cores
+    return prof
+
+
+def _candidate_configs(batch_size, max_envs, cores, throughput):
+    """The reference's 5 candidate strategies (vector.py:760-820):
+    one-batch-per-core, full-async, contiguous-blocks, full-sync,
+    serial."""
+    configs = []
+    # 1: one batch per core
+    strategy_cores = max(min(cores, max_envs // batch_size), 1)
+    configs.append(dict(num_envs=batch_size * strategy_cores,
+        num_workers=strategy_cores, batch_size=batch_size,
+        backend=HostMultiprocessing))
+    # 2/3: full async + contiguous blocks over envs_per_worker ladder
+    min_epw = int(np.ceil((batch_size + 1) / cores))
+    for envs_per_worker in range(max(min_epw, 1), batch_size + 1):
+        num_envs = envs_per_worker * cores
+        if num_envs > max_envs:
+            break
+        if batch_size % envs_per_worker != 0:
             continue
-        envs = min(max_envs, workers * 4)
-        envs -= envs % workers
-        for frac in batch_fracs:
-            batch = max(int(envs * frac), envs // workers)
-            batch -= batch % (envs // workers)
-            if batch < 1 or envs % batch:
-                continue
-            try:
-                vec = HostMultiprocessing(env_creator, env_args,
-                    env_kwargs, num_envs=envs, num_workers=workers,
-                    batch_size=batch)
-                vec.async_reset()
+        configs.append(dict(num_envs=num_envs, num_workers=cores,
+            batch_size=batch_size, backend=HostMultiprocessing))
+        if num_envs % batch_size == 0 and throughput > 0.5:
+            configs.append(dict(num_envs=num_envs, num_workers=cores,
+                batch_size=batch_size, backend=HostMultiprocessing))
+    # 4: full sync
+    for strategy_cores in range(cores, 1, -1):
+        if batch_size % strategy_cores == 0:
+            configs.append(dict(num_envs=batch_size,
+                num_workers=strategy_cores, batch_size=batch_size,
+                backend=HostMultiprocessing))
+    # 5: serial
+    configs.append(dict(num_envs=batch_size, backend=HostSerial))
+    # dedup preserving order
+    seen, out = set(), []
+    for c in configs:
+        key = (c['num_envs'], c.get('num_workers'),
+            c.get('batch_size'), c['backend'].__name__)
+        if key not in seen:
+            seen.add(key)
+            out.append(c)
+    return out
+
+
+def autotune(env_creator, env_args=None, env_kwargs=None, batch_size=None,
+        max_envs=64, max_env_ram_gb=32, max_batch_hbm_gb=0.05,
+        time_per_config=2.0, max_configs=None):
+    """Find the best host-envpool config (reference vector.py:669-854):
+    profile a single env (SPS / step std / reset % / RAM / bandwidth),
+    cap env counts by RAM and core divisibility, then benchmark the
+    reference's 5 candidate strategies and report the winner."""
+    prof = profile_env(env_creator, env_args, env_kwargs,
+        time_per_test=min(time_per_config, 2.0))
+    cores = prof.num_cores
+    print('Profile complete')
+    print(f'    SPS: {prof.sps:.3f}')
+    print(f'    STD: {prof.step_std_pct:.3f}%')
+    print(f'    Reset: {prof.reset_pct:.3f}%')
+    print(f'    RAM: {1000 * prof.ram_gb_per_env:.3f} MB/env')
+    print(f'    Bandwidth: {prof.bandwidth_gbs:.3f} GB/s')
+    print(f'    Throughput: {prof.throughput_gbs:.3f} GB/s '
+        f'({cores} cores)')
+
+    if batch_size is None:
+        batch_size = max(min(max_envs, 2 * cores) // 2, 1)
+    if max_envs < batch_size:
+        raise APIUsageError('max_envs < batch_size')
+
+    # cap envs by RAM (reference vector.py:741-745)
+    max_by_ram = int(max_env_ram_gb // prof.ram_gb_per_env)
+    if max_by_ram < max_envs:
+        max_envs = max_by_ram
+        print(f'Reducing max envs to {max_envs} based on RAM')
+    # cap by core divisibility (reference :752-756)
+    hardware_envs = max_envs - (max_envs % cores)
+    if hardware_envs > batch_size and hardware_envs != max_envs:
+        max_envs = hardware_envs
+        print(f'Reducing max envs to {max_envs} based on core division')
+    # batch obs must fit the device staging budget (reference :758
+    # checks VRAM; here the analog is the HBM staging buffer)
+    if max_batch_hbm_gb // max(prof.obs_size_gb, 1e-12) < batch_size:
+        raise APIUsageError('batch obs exceed max_batch_hbm_gb')
+
+    configs = _candidate_configs(batch_size, max_envs, cores,
+        prof.throughput_gbs)
+    if max_configs:
+        configs = configs[:max_configs]
+    results = []
+    for config in configs:
+        desc = {k: (v.__name__ if k == 'backend' else v)
+            for k, v in config.items()}
+        try:
+            vec = make(env_creator, env_args, env_kwargs, **config)
+            vec.async_reset()
+            obs, *_ = vec.recv()
+            steps = 0
+            start = time.time()
+            while time.time() - start < time_per_config:
+                vec.send(np.zeros((len(obs),
+                    *vec.single_action_space.shape), np.int64))
                 obs, *_ = vec.recv()
-                atn = np.zeros((len(obs),
-                    *vec.single_action_space.shape), np.int64)
-                steps = 0
-                start = time.time()
-                vec.send(atn)
-                while time.time() - start < time_per_config:
-                    obs, *_ = vec.recv()
-                    vec.send(np.zeros((len(obs),
-                        *vec.single_action_space.shape), np.int64))
-                    steps += len(obs)
-                sps = steps / (time.time() - start)
-                results[(workers, batch)] = sps
-                print(f'{workers:>8} {batch:>6} {sps:>12.0f}')
-                vec.close()
-            except Exception as e:
-                print(f'{workers:>8} {batch:>6} failed: {e}')
-    if results:
-        (w, b), sps = max(results.items(), key=lambda kv: kv[1])
-        print(f'Best: num_workers={w} batch_size={b} ({sps:.0f} SPS)')
+                steps += len(obs)
+            sps = steps / (time.time() - start)
+            vec.close()
+            results.append((sps, desc))
+            print(f'SPS: {sps:.0f}  {desc}')
+        except Exception as e:
+            print(f'failed: {desc}: {e}')
+    if not results:
+        return None
+    best_sps, best = max(results, key=lambda kv: kv[0])
+    print(f'Best: {best} ({best_sps:.0f} SPS)')
+    return namespace(profile=prof, best=best, best_sps=best_sps,
+        results=results)
     return results
 
 

@@ -91,3 +91,28 @@ def test_recurrent_segments_start_from_rollout_state():
     assert nonzero, 'segment snapshots are all zeros'
     ppo_host.train(data)
     assert np.isfinite(data.losses.policy_loss)
+
+
+def test_cpu_offload_matches_fused_update():
+    """cpu_offload streams minibatches from host RAM through the
+    single-minibatch jit (reference clean_pufferl.py:388-391 analog);
+    the resulting params must match the fused epoch runner."""
+    import jax
+
+    d_off = make_data(seed=5, cpu_offload=True)
+    d_ref = make_data(seed=5)
+    assert d_off.run_minibatch is not None
+    assert d_ref.run_minibatch is None
+    ppo_host.evaluate(d_off)
+    ppo_host.evaluate(d_ref)
+    ppo_host.train(d_off)
+    ppo_host.train(d_ref)
+    for a, b in zip(jax.tree.leaves(d_off.params),
+            jax.tree.leaves(d_ref.params)):
+        assert np.allclose(np.asarray(a), np.asarray(b),
+            rtol=1e-5, atol=1e-6)
+    for k in ('policy_loss', 'value_loss', 'approx_kl'):
+        assert np.isclose(float(d_off.losses[k]), float(d_ref.losses[k]),
+            rtol=1e-4, atol=1e-5), k
+    ppo_host.close(d_off)
+    ppo_host.close(d_ref)

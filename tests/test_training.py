@@ -101,6 +101,39 @@ def test_checkpoint_roundtrip(tmp_path):
 
 
 @pytest.mark.slow
+def test_memory_learns_lstm():
+    """The recurrent trainer must actually learn a memory task: Memory
+    with mem_length=2 requires carrying two digits across the episode,
+    which only the LSTM state can do (reference ocean README 'train
+    within minutes'; config.yaml memory section). Converges in ~18
+    epochs; 60 is the give-up budget."""
+    creator = env_creator('memory')
+    vecenv = vector.make(creator,
+        env_kwargs=dict(mem_length=2, mem_delay=0),
+        backend=vector.Device, num_envs=128)
+    obs_shape = vecenv.single_observation_space.shape
+    module = LSTMWrapper(
+        policy=Default(obs_shape=obs_shape,
+            action_space=vecenv.single_action_space, hidden_size=64),
+        obs_shape=obs_shape, input_size=64, hidden_size=64)
+    policy = RecurrentPolicy(module)
+    config = ppo.default_config(env='memory', batch_size=4096,
+        minibatch_size=1024, bptt_horizon=4,
+        total_timesteps=4096 * 60, learning_rate=0.01, ent_coef=0.01,
+        verbose=False, data_dir='/tmp/puffer_tpu_test')
+    data = ppo.create(config, vecenv, policy)
+    best = 0.0
+    while data.global_step < config.total_timesteps:
+        stats, _ = ppo.evaluate(data)
+        ppo.train(data)
+        best = max(best, stats.get('score', 0.0))
+        if best > 0.9:
+            break
+    assert best > 0.9, f'memory never solved (best score {best})'
+    ppo.close(data)
+
+
+@pytest.mark.slow
 def test_squared_learns():
     """Score on squared should clearly exceed random play after a short
     training run (reference: squared trains in ~30k steps on CPU)."""
