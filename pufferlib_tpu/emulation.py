@@ -193,6 +193,15 @@ def nativize_multidiscrete(action, space):
             value = int(flat[pos[0]])
             pos[0] += 1
             return value
+        if isinstance(sp, spaces.MultiBinary):
+            values = flat[pos[0]:pos[0] + int(sp.n)]
+            pos[0] += int(sp.n)
+            return np.asarray(values, dtype=sp.dtype)
+        if isinstance(sp, spaces.MultiDiscrete):
+            k = len(sp.nvec)
+            values = flat[pos[0]:pos[0] + k]
+            pos[0] += k
+            return np.asarray(values, dtype=sp.dtype)
         if isinstance(sp, spaces.Dict):
             return {k: build(v) for k, v in sp.items()}
         if isinstance(sp, spaces.Tuple):

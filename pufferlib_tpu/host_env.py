@@ -151,6 +151,78 @@ class GymnasiumPufferEnv:
         return self.env.close()
 
 
+class NativePufferEnv:
+    """Adapter for reference-style NATIVE PufferEnv implementations —
+    envs that already produce flat per-agent arrays (obs shape
+    (num_agents, *space.shape), rewards/terminals (num_agents,)) and
+    skip emulation entirely, e.g. nmmo3's PuffEnv (reference
+    environments/nmmo3/environment.py:19-20; vector.py:652-655 accepts
+    these directly). Presents the host-bridge surface (single_* spaces,
+    buf injection, done flag) so HostSerial/HostMultiprocessing treat
+    it like any bridged env."""
+
+    def __init__(self, env=None, env_creator=None, env_args=(),
+            env_kwargs=None, buf=None):
+        if (env is None) == (env_creator is None):
+            raise ValueError('Provide exactly one of env / env_creator')
+        self.env = env if env is not None else env_creator(
+            *env_args, **(env_kwargs or {}))
+        obs_space = getattr(self.env, 'single_observation_space', None) \
+            or self.env.observation_space
+        atn_space = getattr(self.env, 'single_action_space', None) \
+            or self.env.action_space
+        self.single_observation_space = spaces.from_gymnasium(obs_space)
+        self.single_action_space = spaces.from_gymnasium(atn_space)
+        self.num_agents = int(self.env.num_agents)
+        # native envs are pre-flattened: no emulation metadata
+        self.emulated = None
+        self.buf = buf
+        self.done = True
+        self.initialized = False
+
+    @property
+    def render_mode(self):
+        return getattr(self.env, 'render_mode', None)
+
+    def _write(self, obs, rewards, terminals, truncations):
+        if self.buf is None:
+            return
+        self.buf.observations[:] = obs
+        self.buf.rewards[:] = rewards
+        self.buf.terminals[:] = terminals
+        self.buf.truncations[:] = truncations
+        self.buf.masks[:] = True
+
+    def reset(self, seed=None):
+        try:
+            obs, info = self.env.reset(seed=seed)
+        except TypeError:
+            obs, info = self.env.reset()
+        self.initialized = True
+        self.done = False
+        n = self.num_agents
+        self._write(obs, np.zeros(n, np.float32), np.zeros(n, bool),
+            np.zeros(n, bool))
+        return obs, info
+
+    def step(self, actions):
+        if not self.initialized:
+            raise APIUsageError('step() called before reset()')
+        if self.done:
+            raise APIUsageError('step() called after environment is done')
+        obs, rewards, terminals, truncations, info = self.env.step(
+            np.asarray(actions))
+        self._write(obs, rewards, terminals, truncations)
+        self.done = bool(np.all(terminals) or np.all(truncations))
+        return obs, rewards, terminals, truncations, info
+
+    def render(self):
+        return self.env.render()
+
+    def close(self):
+        return self.env.close()
+
+
 def pad_agent_data(data, agents, pad_value):
     return {agent: data[agent] if agent in data else pad_value
         for agent in agents}
@@ -192,6 +264,12 @@ class PettingZooPufferEnv:
         self.obs, self.obs_struct = emulation.make_buffer(
             self.single_observation_space.dtype, self.obs_dtype,
             self.num_agents)
+        if not self.is_obs_emulated:
+            # non-emulated spaces keep their native row shape (a flat
+            # row would fail the env's own space check for multi-dim
+            # Box obs)
+            self.obs = self.obs.reshape(
+                self.num_agents, *self.single_observation_space.shape)
 
     @property
     def render_mode(self):
@@ -223,7 +301,8 @@ class PettingZooPufferEnv:
         if self.is_obs_emulated:
             emulation.emulate(self.obs_struct[i], ob)
         else:
-            self.obs[i] = np.asarray(ob).ravel().view(self.obs.dtype)
+            self.obs[i] = np.asarray(ob).ravel().view(
+                self.obs.dtype).reshape(self.obs[i].shape)
 
     def reset(self, seed=None):
         if not self.initialized and self.buf is not None:

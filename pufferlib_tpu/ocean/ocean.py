@@ -14,6 +14,8 @@ the host with numpy at construction — bit-exact parity. Per-reset
 randomness (Memory, Spaces, Squared) uses counter-based JAX PRNG keys;
 distributionally identical, documented here as the seed mapping.
 """
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -192,6 +194,34 @@ class Password(PufferEnv):
             + _render_blocks(state['observation']) + ' Prediction\n')
 
 
+_WORK_RATE = None
+
+
+def _calibrate_work_rate():
+    """Measured fori_loop iterations/second on the current backend, so
+    Performance delays are real seconds (the reference busy-spins
+    measured process_time, ref ocean.py:306-328; the hardcoded guess
+    this replaces was unanchored). Slope of two sizes cancels dispatch
+    and fetch latency (the tunneled-TPU honest-timing discipline)."""
+    global _WORK_RATE
+    if _WORK_RATE is None:
+        import time as _time
+        body = lambda i, v: v * 1.0000001 + 1e-9  # noqa: E731
+
+        def timed(k):
+            f = jax.jit(functools.partial(
+                lambda n, x: jax.lax.fori_loop(0, n, body, x), k))
+            float(f(jnp.float32(0)))  # compile + warm
+            t0 = _time.perf_counter()
+            float(f(jnp.float32(0)))
+            return _time.perf_counter() - t0
+
+        k1, k2 = 1_000_000, 5_000_000
+        t1, t2 = timed(k1), timed(k2)
+        _WORK_RATE = max(int((k2 - k1) / max(t2 - t1, 1e-9)), 1)
+    return _WORK_RATE
+
+
 class Performance(PufferEnv):
     """Synthetic-delay perf probe (reference :306-328). The reference
     busy-spins host CPU; the TPU analog burns device cycles with a
@@ -203,8 +233,10 @@ class Performance(PufferEnv):
         self.delay_mean = delay_mean
         self.delay_std = delay_std
         self.bandwidth = bandwidth
-        # ~work units per simulated second of delay
-        self.work_per_second = 10_000_000
+        # work units per second of simulated delay: measured, but only
+        # when a delay is requested (calibration costs a few dispatches)
+        self.work_per_second = _calibrate_work_rate() \
+            if (delay_mean or delay_std) else 10_000_000
         self.observation_space = spaces.Box(
             low=-2**20, high=2**20, shape=(bandwidth,), dtype=np.float32)
         self.action_space = spaces.Discrete(2)

@@ -22,7 +22,8 @@ import numpy as np
 
 from pufferlib_tpu import spaces
 from pufferlib_tpu.exceptions import APIUsageError
-from pufferlib_tpu.host_env import GymnasiumPufferEnv, PettingZooPufferEnv
+from pufferlib_tpu.host_env import (
+    GymnasiumPufferEnv, NativePufferEnv, PettingZooPufferEnv)
 from pufferlib_tpu.namespace import Namespace, namespace
 
 RESET = 0
@@ -68,11 +69,15 @@ def joint_space(space, n):
 
 def _wrap(creator, args, kwargs, buf=None):
     env = creator(*(args or ()), **(kwargs or {}))
-    if isinstance(env, (GymnasiumPufferEnv, PettingZooPufferEnv)):
+    if isinstance(env, (GymnasiumPufferEnv, PettingZooPufferEnv,
+            NativePufferEnv)):
         env.buf = buf
         return env
     if hasattr(env, 'possible_agents'):
         return PettingZooPufferEnv(env=env, buf=buf)
+    if hasattr(env, 'num_agents') and getattr(env, 'num_agents', 1) > 1:
+        # native puffer-style env: flat per-agent arrays, no emulation
+        return NativePufferEnv(env=env, buf=buf)
     return GymnasiumPufferEnv(env=env, buf=buf)
 
 

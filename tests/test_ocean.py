@@ -200,3 +200,29 @@ def test_render_all_ocean_envs():
         state, obs = env.reset(KEY)
         out = env.render(state)
         assert isinstance(out, str) and len(out) > 0, name
+
+
+def test_performance_delay_calibrated():
+    """Performance delays are anchored to a measured device work rate
+    (the reference busy-spins wall seconds, ocean.py:306-328): a
+    requested delay must produce steps of at least that duration and
+    within ~5x of it (dispatch overhead rides on top)."""
+    import time
+    from pufferlib_tpu.ocean.ocean import (
+        Performance, _calibrate_work_rate)
+
+    assert _calibrate_work_rate() > 0
+    delay = 2e-4
+    env = Performance(delay_mean=delay)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(lambda s: env.step(s, jnp.int32(0),
+        jax.random.PRNGKey(1)))
+    out = step(state)
+    float(out.reward)  # compile
+    t0 = time.perf_counter()
+    n = 20
+    for _ in range(n):
+        out = step(out.state)
+    float(out.reward)
+    per_step = (time.perf_counter() - t0) / n
+    assert delay * 0.8 < per_step < delay * 5, per_step
