@@ -156,10 +156,12 @@ def _show_frame(frame, step, save_dir=None):
         return
     frame = np.asarray(frame)
     try:
+        # cv2.imshow raises cv2.error (not ImportError) on headless
+        # hosts; any failure falls back to saving frames
         import cv2
         cv2.imshow('frame', frame[..., ::-1] if frame.ndim == 3 else frame)
         cv2.waitKey(1)
-    except ImportError:
+    except Exception:
         if save_dir:
             os.makedirs(save_dir, exist_ok=True)
             try:

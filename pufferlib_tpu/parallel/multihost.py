@@ -34,7 +34,11 @@ def init_distributed(coordinator_address=None, num_processes=None,
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id)
     except (ValueError, RuntimeError) as e:
-        if 'already initialized' in str(e).lower():
+        msg = str(e).lower()
+        # jax's repeated-init message is "distributed.initialize should
+        # only be called once"; treat it (and any 'already initialized'
+        # variant) as the documented no-op
+        if 'only be called once' in msg or 'already initialized' in msg:
             return
         if coordinator_address is None:
             # single-process run (tests, one host): nothing to do

@@ -274,7 +274,7 @@ def evaluate(data):
     return data.stats, infos
 
 
-def _train_offloaded(data, seg_batch, lr):
+def _train_offloaded(data, seg_batch, lr, update_key):
     """cpu_offload update loop (reference clean_pufferl.py:388-391):
     the (batch, *obs) array stays in host RAM; each minibatch's rows
     upload on their own dispatch. The async dispatch pipeline overlaps
@@ -284,14 +284,29 @@ def _train_offloaded(data, seg_batch, lr):
     rows = experience.minibatch_rows
     M = experience.num_minibatches
     lr_dev = jnp.float32(lr)
+    # host-side shuffle RNG seeded from the update key so the offload
+    # path honors shuffle_minibatches like the fused runner does
+    try:  # typed PRNG keys need key_data; legacy uint32 keys don't
+        key_bits = np.asarray(jax.random.key_data(update_key))
+    except (TypeError, AttributeError):
+        key_bits = np.asarray(update_key)
+    rng = np.random.RandomState(
+        int(key_bits.ravel()[-1]) & 0x7fffffff)
     stats_sum = None
     n = 0
     for _ in range(config.update_epochs):
+        if config.shuffle_minibatches:
+            perm = rng.permutation(M * rows)
         epoch_stats = None
         for m in range(M):
-            mb = jax.tree.map(
-                lambda x: jnp.asarray(x[m * rows:(m + 1) * rows]),
-                seg_batch)
+            if config.shuffle_minibatches:
+                idx = perm[m * rows:(m + 1) * rows]
+                mb = jax.tree.map(
+                    lambda x: jnp.asarray(x[idx]), seg_batch)
+            else:
+                mb = jax.tree.map(
+                    lambda x: jnp.asarray(x[m * rows:(m + 1) * rows]),
+                    seg_batch)
             data.params, data.opt_state, stats = data.run_minibatch(
                 data.params, data.opt_state, mb, lr_dev)
             epoch_stats = stats
@@ -373,7 +388,7 @@ def train(data):
     with profile.learn:
         data.key, update_key = jax.random.split(data.key)
         if data.run_minibatch is not None:
-            stats = _train_offloaded(data, seg_batch, lr)
+            stats = _train_offloaded(data, seg_batch, lr, update_key)
         else:
             seg_batch = jax.tree.map(jnp.asarray, seg_batch)
             data.params, data.opt_state, stats = data.run_epochs(

@@ -75,8 +75,11 @@ def _wrap(creator, args, kwargs, buf=None):
         return env
     if hasattr(env, 'possible_agents'):
         return PettingZooPufferEnv(env=env, buf=buf)
-    if hasattr(env, 'num_agents') and getattr(env, 'num_agents', 1) > 1:
-        # native puffer-style env: flat per-agent arrays, no emulation
+    if hasattr(env, 'num_agents') and hasattr(
+            env, 'single_observation_space'):
+        # native puffer-style env (flat per-agent arrays, no emulation)
+        # regardless of agent count — GymnasiumPufferEnv speaks a
+        # different (unbatched) protocol
         return NativePufferEnv(env=env, buf=buf)
     return GymnasiumPufferEnv(env=env, buf=buf)
 
@@ -349,31 +352,36 @@ class HostMultiprocessing:
         creators_list = env_creators if isinstance(
             env_creators, (list, tuple)) else None
         # workers never touch the accelerator: drop TPU plugin paths
-        # (axon sitecustomize) from their env so each spawn skips the
-        # multi-second jax runtime import
+        # (the *.axon_site sitecustomize dir) from their env so each
+        # spawn skips the multi-second jax runtime import; restore under
+        # try/finally so a failed spawn cannot leak the stripped path
         old_pp = _os.environ.get('PYTHONPATH')
         if old_pp:
             _os.environ['PYTHONPATH'] = ':'.join(
-                p for p in old_pp.split(':') if 'axon' not in p)
-        for i in range(num_workers):
-            # each worker owns its contiguous slice of the creator list
-            worker_creators = env_creators if creators_list is None else \
-                list(creators_list[i * envs_per_worker:
-                    (i + 1) * envs_per_worker])
-            main_send, worker_recv = _mp.Pipe()
-            worker_send, main_recv = _mp.Pipe()
-            p = _mp.Process(target=_worker_process, args=(
-                worker_creators, env_args, env_kwargs, envs_per_worker,
-                obs_shape, np.dtype(obs_space.dtype), atn_shape,
-                np.dtype(atn_space.dtype), agents_per_worker, i,
-                worker_send, worker_recv, self.shm, oversubscribed),
-                daemon=True)
-            p.start()
-            self.processes.append(p)
-            self.send_pipes.append(main_send)
-            self.recv_pipes.append(main_recv)
-        if old_pp:
-            _os.environ['PYTHONPATH'] = old_pp
+                p for p in old_pp.split(':')
+                if not p.rstrip('/').endswith('.axon_site'))
+        try:
+            for i in range(num_workers):
+                # each worker owns its contiguous slice of the creators
+                worker_creators = env_creators if creators_list is None \
+                    else list(creators_list[i * envs_per_worker:
+                        (i + 1) * envs_per_worker])
+                main_send, worker_recv = _mp.Pipe()
+                worker_send, main_recv = _mp.Pipe()
+                p = _mp.Process(target=_worker_process, args=(
+                    worker_creators, env_args, env_kwargs,
+                    envs_per_worker, obs_shape,
+                    np.dtype(obs_space.dtype), atn_shape,
+                    np.dtype(atn_space.dtype), agents_per_worker, i,
+                    worker_send, worker_recv, self.shm, oversubscribed),
+                    daemon=True)
+                p.start()
+                self.processes.append(p)
+                self.send_pipes.append(main_send)
+                self.recv_pipes.append(main_recv)
+        finally:
+            if old_pp:
+                _os.environ['PYTHONPATH'] = old_pp
 
         self.agent_ids = np.arange(self.num_agents).reshape(
             num_workers, agents_per_worker)
@@ -423,7 +431,7 @@ class HostMultiprocessing:
                     ready.append(w)
                     if len(ready) == self.workers_per_batch:
                         break
-            if self._spin_us == 0:
+            if self._spin_us == 0 and len(ready) < self.workers_per_batch:
                 time.sleep(0.0002)  # oversubscribed: don't hot-spin
             if time.time() - last_alive_check > 1.0:
                 last_alive_check = time.time()
@@ -534,29 +542,31 @@ def profile_env(env_creator, env_args=None, env_kwargs=None,
     import psutil
     proc = psutil.Process()
     load_ram = proc.memory_info().rss
-    env = env_creator(*(env_args or ()), **(env_kwargs or {}))
-    num_agents = getattr(env, 'num_agents', 1)
-    obs_space = getattr(env, 'single_observation_space',
-        env.observation_space)
-    atn_space = getattr(env, 'single_action_space', env.action_space)
+    # _wrap handles raw gymnasium/pettingzoo creators (method-style
+    # observation_space(agent) etc.) exactly like the backends do
+    env = _wrap(env_creator, env_args, env_kwargs)
+    num_agents = env.num_agents
+    obs_space = env.single_observation_space
+    atn_space = env.single_action_space
     env.reset(seed=0)
-    actions = [atn_space.sample() for _ in range(1000)]
+    if num_agents == 1:
+        actions = [atn_space.sample() for _ in range(1000)]
+    else:
+        actions = [np.stack([atn_space.sample()
+            for _ in range(num_agents)]) for _ in range(1000)]
 
     steps = 0
     idle_ram = proc.memory_info().rss
     step_times, reset_times = [], []
-    done = False
     start = time.time()
     while time.time() - start < time_per_test:
         s = time.time()
-        if done:
+        if env.done:
             env.reset()
             reset_times.append(time.time() - s)
-            done = False
         else:
-            _, _, term, trunc, _ = env.step(actions[steps % 1000])
+            env.step(actions[steps % 1000])
             step_times.append(time.time() - s)
-            done = bool(np.all(term)) or bool(np.all(trunc))
         steps += 1
         idle_ram = max(idle_ram, proc.memory_info().rss)
     env.close()
@@ -599,11 +609,17 @@ def _candidate_configs(batch_size, max_envs, cores, throughput):
             break
         if batch_size % envs_per_worker != 0:
             continue
+        if num_envs % batch_size != 0:
+            continue  # make() requires num_envs % batch_size == 0
+        # full async (copies out of the slabs)
         configs.append(dict(num_envs=num_envs, num_workers=cores,
-            batch_size=batch_size, backend=HostMultiprocessing))
-        if num_envs % batch_size == 0 and throughput > 0.5:
+            batch_size=batch_size, zero_copy=False,
+            backend=HostMultiprocessing))
+        if throughput > 0.5:
+            # contiguous blocks, zero-copy (reference strategy 3)
             configs.append(dict(num_envs=num_envs, num_workers=cores,
-                batch_size=batch_size, backend=HostMultiprocessing))
+                batch_size=batch_size, zero_copy=True,
+                backend=HostMultiprocessing))
     # 4: full sync
     for strategy_cores in range(cores, 1, -1):
         if batch_size % strategy_cores == 0:
@@ -616,7 +632,8 @@ def _candidate_configs(batch_size, max_envs, cores, throughput):
     seen, out = set(), []
     for c in configs:
         key = (c['num_envs'], c.get('num_workers'),
-            c.get('batch_size'), c['backend'].__name__)
+            c.get('batch_size'), c.get('zero_copy'),
+            c['backend'].__name__)
         if key not in seen:
             seen.add(key)
             out.append(c)
@@ -642,16 +659,16 @@ def autotune(env_creator, env_args=None, env_kwargs=None, batch_size=None,
     print(f'    Throughput: {prof.throughput_gbs:.3f} GB/s '
         f'({cores} cores)')
 
+    # cap envs by RAM FIRST so batch_size and every candidate config
+    # respect the budget (reference vector.py:741-745)
+    max_by_ram = int(max_env_ram_gb // prof.ram_gb_per_env)
+    if max_by_ram < max_envs:
+        max_envs = max(max_by_ram, 1)
+        print(f'Reducing max envs to {max_envs} based on RAM')
     if batch_size is None:
         batch_size = max(min(max_envs, 2 * cores) // 2, 1)
     if max_envs < batch_size:
         raise APIUsageError('max_envs < batch_size')
-
-    # cap envs by RAM (reference vector.py:741-745)
-    max_by_ram = int(max_env_ram_gb // prof.ram_gb_per_env)
-    if max_by_ram < max_envs:
-        max_envs = max_by_ram
-        print(f'Reducing max envs to {max_envs} based on RAM')
     # cap by core divisibility (reference :752-756)
     hardware_envs = max_envs - (max_envs % cores)
     if hardware_envs > batch_size and hardware_envs != max_envs:
@@ -693,7 +710,6 @@ def autotune(env_creator, env_args=None, env_kwargs=None, batch_size=None,
     print(f'Best: {best} ({best_sps:.0f} SPS)')
     return namespace(profile=prof, best=best, best_sps=best_sps,
         results=results)
-    return results
 
 
 class HostRay:

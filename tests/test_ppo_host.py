@@ -116,3 +116,13 @@ def test_cpu_offload_matches_fused_update():
             rtol=1e-4, atol=1e-5), k
     ppo_host.close(d_off)
     ppo_host.close(d_ref)
+
+
+def test_cpu_offload_shuffled_minibatches_run():
+    """shuffle_minibatches is honored on the offload path (review fix:
+    it was silently dropped)."""
+    data = make_data(seed=9, cpu_offload=True, shuffle_minibatches=True)
+    ppo_host.evaluate(data)
+    ppo_host.train(data)
+    assert np.isfinite(data.losses.policy_loss)
+    ppo_host.close(data)
