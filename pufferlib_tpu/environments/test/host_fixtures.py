@@ -78,3 +78,126 @@ class PettingZooPerformanceEnv:
 
     def close(self):
         pass
+
+
+# --------------------------------------------------------------------------
+# Deterministic host-side mock envs (reference test/environment.py:312-360:
+# GymnasiumTestEnv / PettingZooTestEnv with seeded episodes) — the fixture
+# for the vectorization-vs-manual-loop byte-exactness contract.
+
+def host_mock_spaces():
+    """Gymnasium obs/action space registry for host mock envs (jax-free
+    sibling of the device MOCK_* suite)."""
+    import gymnasium
+    obs = {
+        'box': gymnasium.spaces.Box(-1, 1, (6,), np.float32),
+        'image': gymnasium.spaces.Box(0, 255, (3, 4, 4), np.uint8),
+        'dict_mixed': gymnasium.spaces.Dict({
+            'a': gymnasium.spaces.Box(0, 255, (3, 3), np.uint8),
+            'b': gymnasium.spaces.Box(-128, 127, (4,), np.int8),
+        }),
+        'tuple_nested': gymnasium.spaces.Tuple([
+            gymnasium.spaces.Box(0, 1, (2,), np.float32),
+            gymnasium.spaces.Box(0, 255, (3,), np.uint8),
+        ]),
+    }
+    atn = {
+        'discrete': gymnasium.spaces.Discrete(4),
+        'multidiscrete': gymnasium.spaces.MultiDiscrete([2, 3]),
+        'dict_discrete': gymnasium.spaces.Dict({
+            'x': gymnasium.spaces.Discrete(2),
+            'y': gymnasium.spaces.Discrete(3),
+        }),
+    }
+    return obs, atn
+
+
+class GymnasiumTestEnv:
+    """Deterministic seeded episodes: obs are a pure function of
+    (seed, tick); reward = tick; episodes last episode_length steps."""
+
+    def __init__(self, obs_name='box', atn_name='discrete',
+            episode_length=5):
+        obs_spaces, atn_spaces = host_mock_spaces()
+        self.observation_space = obs_spaces[obs_name]
+        self.action_space = atn_spaces[atn_name]
+        self.episode_length = episode_length
+        self.render_mode = None
+        self._seed = 0
+        self._episode = 0
+
+    def _obs(self, t):
+        self.observation_space.seed(
+            int(self._seed * 10007 + self._episode * 101 + t))
+        return self.observation_space.sample()
+
+    def reset(self, seed=None, options=None):
+        if seed is not None:
+            self._seed = seed
+            self._episode = 0
+        else:
+            self._episode += 1
+        self.t = 0
+        return self._obs(0), {}
+
+    def step(self, action):
+        self.t += 1
+        done = self.t >= self.episode_length
+        info = {'score': float(self.t)} if done else {}
+        return self._obs(self.t), float(self.t), done, False, info
+
+    def close(self):
+        pass
+
+
+class PettingZooTestEnv:
+    """Deterministic 2-agent parallel mock with seeded episodes."""
+
+    def __init__(self, obs_name='box', atn_name='discrete',
+            episode_length=5):
+        obs_spaces, atn_spaces = host_mock_spaces()
+        self._obs_space = obs_spaces[obs_name]
+        self._atn_space = atn_spaces[atn_name]
+        self.episode_length = episode_length
+        self.possible_agents = [1, 2]
+        self.agents = []
+        self.render_mode = None
+        self._seed = 0
+        self._episode = 0
+
+    def observation_space(self, agent):
+        return self._obs_space
+
+    def action_space(self, agent):
+        return self._atn_space
+
+    def _obs(self, agent, t):
+        self._obs_space.seed(int(self._seed * 10007
+            + self._episode * 101 + agent * 31 + t))
+        return self._obs_space.sample()
+
+    def reset(self, seed=None):
+        if seed is not None:
+            self._seed = seed
+            self._episode = 0
+        else:
+            self._episode += 1
+        self.t = 0
+        self.agents = list(self.possible_agents)
+        return {a: self._obs(a, 0) for a in self.agents}, \
+            {a: {} for a in self.agents}
+
+    def step(self, actions):
+        self.t += 1
+        done = self.t >= self.episode_length
+        obs = {a: self._obs(a, self.t) for a in self.agents}
+        rewards = {a: float(self.t * a) for a in self.agents}
+        dones = {a: done for a in self.agents}
+        truncs = {a: False for a in self.agents}
+        infos = {a: {} for a in self.agents}
+        if done:
+            self.agents = []
+        return obs, rewards, dones, truncs, infos
+
+    def close(self):
+        pass

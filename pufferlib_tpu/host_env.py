@@ -87,7 +87,10 @@ class GymnasiumPufferEnv:
         if self.is_obs_emulated:
             emulation.emulate(self.obs_struct[0], ob)
         elif self.buf is not None:
-            self.obs[:] = np.asarray(ob).ravel().view(self.obs.dtype)
+            # injected rows may be flat OR native-shaped; reshape the
+            # raveled byte view to whichever the slab uses
+            self.obs[:] = np.asarray(ob).ravel().view(
+                self.obs.dtype).reshape(self.obs.shape)
         else:
             self.obs = np.asarray(ob).reshape(
                 self.observation_space.shape)
