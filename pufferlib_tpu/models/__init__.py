@@ -209,7 +209,14 @@ class LSTMWrapper(nn.Module):
                 continue
             xp_t = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 4H)
             if use_pallas:
-                from pufferlib_tpu.ops.pallas.lstm import lstm_scan
+                import os
+                if os.environ.get('PUFFER_LSTM_KERNEL') == 'tm':
+                    # experimental time-major-grid kernel (one big
+                    # matmul per timestep; ops/pallas/lstm_tm.py)
+                    from pufferlib_tpu.ops.pallas.lstm_tm import (
+                        lstm_scan_tm as lstm_scan)
+                else:
+                    from pufferlib_tpu.ops.pallas.lstm import lstm_scan
                 outs, h_fin, c_fin = lstm_scan(
                     xp_t, h0[layer], c0[layer], w_hh, cdt)
             else:

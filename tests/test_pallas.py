@@ -68,3 +68,42 @@ def test_pallas_lstm_scan_matches_reference():
     gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(xp, h0, c0, whh)
     for a, b in zip(gp, gr):
         assert jnp.allclose(a, b, atol=5e-4), float(jnp.abs(a - b).max())
+
+
+def test_pallas_lstm_time_major_matches_reference():
+    """Experimental time-major-grid kernel (ops/pallas/lstm_tm.py):
+    forward and custom-VJP backward match the pure-JAX scan."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from pufferlib_tpu.ops.pallas.lstm import lstm_scan_reference
+    from pufferlib_tpu.ops.pallas.lstm_tm import lstm_scan_tm
+
+    T, B, H = 5, 16, 8
+    rng = np.random.RandomState(3)
+    xp = jnp.asarray(rng.randn(T, B, 4 * H).astype(np.float32) * 0.3)
+    h0 = jnp.asarray(rng.randn(B, H).astype(np.float32) * 0.2)
+    c0 = jnp.asarray(rng.randn(B, H).astype(np.float32) * 0.2)
+    whh = jnp.asarray(rng.randn(H, 4 * H).astype(np.float32) * 0.2)
+
+    with pltpu.force_tpu_interpret_mode():
+        outs, hT, cT = lstm_scan_tm(xp, h0, c0, whh, jnp.float32)
+        ro, rh, rc = lstm_scan_reference(xp, h0, c0, whh)
+        assert np.allclose(np.asarray(outs), np.asarray(ro), atol=1e-6)
+        assert np.allclose(np.asarray(hT), np.asarray(rh), atol=1e-6)
+        assert np.allclose(np.asarray(cT), np.asarray(rc), atol=1e-6)
+
+        def loss(fn):
+            def f(xp, h0, c0, w):
+                o, h, c = fn(xp, h0, c0, w) if fn is lstm_scan_reference \
+                    else fn(xp, h0, c0, w, jnp.float32)
+                return (jnp.sum(o * 0.7) + jnp.sum(h * 1.3)
+                    + jnp.sum(c * 0.5))
+            return f
+
+        g_tm = jax.grad(loss(lstm_scan_tm), argnums=(0, 1, 2, 3))(
+            xp, h0, c0, whh)
+        g_rf = jax.grad(loss(lstm_scan_reference), argnums=(0, 1, 2, 3))(
+            xp, h0, c0, whh)
+        for a, b in zip(g_tm, g_rf):
+            assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
