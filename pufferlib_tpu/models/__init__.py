@@ -185,8 +185,6 @@ class LSTMWrapper(nn.Module):
             # Gate math runs in the compute dtype; the cell state c
             # accumulates in f32 for stability across long horizons.
             cdt = self.dtype
-            x_proj = (layer_in.astype(cdt) @ w_ih.astype(cdt)
-                ) + b.astype(cdt)  # (B, T, 4H) in compute dtype
 
             use_pallas = self.use_pallas
             if use_pallas is None:
@@ -194,6 +192,8 @@ class LSTMWrapper(nn.Module):
                     and B % 8 == 0)
             if T == 1:
                 # rollout fast path: one cell step, no scan machinery
+                x_proj = (layer_in.astype(cdt) @ w_ih.astype(cdt)
+                    ) + b.astype(cdt)  # (B, 1, 4H)
                 gates = (x_proj[:, 0].astype(jnp.float32)
                     + (h0[layer].astype(cdt) @ w_hh.astype(cdt)
                     ).astype(jnp.float32))
@@ -207,7 +207,11 @@ class LSTMWrapper(nn.Module):
                 hs.append(h_fin)
                 cs.append(c_fin)
                 continue
-            xp_t = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 4H)
+            # transpose the INPUT to time-major before projecting: the
+            # (B,T,in) move is 4x smaller than transposing the (B,T,4H)
+            # projection output would be
+            xp_t = (jnp.swapaxes(layer_in, 0, 1).astype(cdt)
+                @ w_ih.astype(cdt)) + b.astype(cdt)  # (T, B, 4H)
             if use_pallas:
                 import os
                 if os.environ.get('PUFFER_LSTM_KERNEL') == 'tm':
