@@ -112,6 +112,14 @@ def host_mock_spaces():
     return obs, atn
 
 
+def _action_leaf_sum(action):
+    if isinstance(action, dict):
+        return sum(_action_leaf_sum(v) for v in action.values())
+    if isinstance(action, (tuple, list)):
+        return sum(_action_leaf_sum(v) for v in action)
+    return int(np.sum(np.asarray(action)))
+
+
 class GymnasiumTestEnv:
     """Deterministic seeded episodes: obs are a pure function of
     (seed, tick); reward = tick; episodes last episode_length steps."""
@@ -127,8 +135,11 @@ class GymnasiumTestEnv:
         self._episode = 0
 
     def _obs(self, t):
+        # fold the action history in so byte-exactness catches action
+        # mis-routing, not just obs plumbing
         self.observation_space.seed(
-            int(self._seed * 10007 + self._episode * 101 + t))
+            int(self._seed * 10007 + self._episode * 101 + t
+                + self._action_sum * 13))
         return self.observation_space.sample()
 
     def reset(self, seed=None, options=None):
@@ -138,13 +149,18 @@ class GymnasiumTestEnv:
         else:
             self._episode += 1
         self.t = 0
+        self._action_sum = 0
         return self._obs(0), {}
 
     def step(self, action):
         self.t += 1
+        self._action_sum += _action_leaf_sum(action)
         done = self.t >= self.episode_length
         info = {'score': float(self.t)} if done else {}
-        return self._obs(self.t), float(self.t), done, False, info
+        # reward depends on the received action (0.125 multiples are
+        # exact in float32)
+        reward = float(self.t) + (self._action_sum % 7) * 0.125
+        return self._obs(self.t), reward, done, False, info
 
     def close(self):
         pass
@@ -173,7 +189,8 @@ class PettingZooTestEnv:
 
     def _obs(self, agent, t):
         self._obs_space.seed(int(self._seed * 10007
-            + self._episode * 101 + agent * 31 + t))
+            + self._episode * 101 + agent * 31 + t
+            + self._action_sum * 13))
         return self._obs_space.sample()
 
     def reset(self, seed=None):
@@ -183,15 +200,18 @@ class PettingZooTestEnv:
         else:
             self._episode += 1
         self.t = 0
+        self._action_sum = 0
         self.agents = list(self.possible_agents)
         return {a: self._obs(a, 0) for a in self.agents}, \
             {a: {} for a in self.agents}
 
     def step(self, actions):
         self.t += 1
+        self._action_sum += _action_leaf_sum(actions)
         done = self.t >= self.episode_length
         obs = {a: self._obs(a, self.t) for a in self.agents}
-        rewards = {a: float(self.t * a) for a in self.agents}
+        rewards = {a: float(self.t * a)
+            + (self._action_sum % 5) * 0.125 for a in self.agents}
         dones = {a: done for a in self.agents}
         truncs = {a: False for a in self.agents}
         infos = {a: {} for a in self.agents}

@@ -10,6 +10,13 @@ tile. TPU grids iterate sequentially (last dim fastest), which gives
 exactly the all-tiles-at-t-before-t+1 order the recurrence needs.
 
 Same API/semantics as lstm.py (torch gate order, bf16 residuals).
+
+CAVEAT: the h/c carry scratch holds the FULL (B, H) state regardless of
+the batch tile (2 x B x H x 4 bytes of VMEM), so this kernel stops
+compiling near B*H ~ 2M (e.g. B=8192, H=256); the batch-tiled lstm.py
+kernel bounds its whole working set by the tile and scales instead.
+Benchmarked slower than lstm.py at the bench shapes (docs/PERF.md) —
+kept for reference behind PUFFER_LSTM_KERNEL=tm.
 """
 import functools
 
@@ -118,7 +125,7 @@ def _tile_tm(B, prefer=1024):
     for bt in (prefer, 512, 256, 128, 64, 32, 16, 8):
         if bt <= prefer and B % bt == 0:
             return bt
-    return None
+    raise ValueError(f'batch {B} not tileable (must divide by 8)')
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))

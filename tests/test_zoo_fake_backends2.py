@@ -97,6 +97,25 @@ class FakeGymFromDMEnv:
         pass
 
 
+def test_bsuite_stopper_enforces_episode_budget(fake_module):
+    from pufferlib_tpu.environments.bsuite import BSuiteStopper
+
+    class Limited:
+        bsuite_num_episodes = 2
+        observation_space = gymnasium.spaces.Box(0, 1, (1,), np.float32)
+        action_space = gymnasium.spaces.Discrete(2)
+
+        def reset(self):
+            return np.zeros(1, np.float32)
+
+    from pufferlib_tpu.exceptions import EpisodeLimitExceeded
+    env = BSuiteStopper(Limited())
+    env.reset()
+    env.reset()
+    with pytest.raises(EpisodeLimitExceeded):
+        env.reset()  # third episode exceeds the mandate
+
+
 def test_bsuite_binding_with_fake_backend(fake_module):
     loaded = {}
 
