@@ -71,6 +71,10 @@ def default_config(**overrides):
         minibatch_size=8192,
         bptt_horizon=16,
         shuffle_minibatches=False,
+        # single-device non-recurrent: partition minibatches by free
+        # contiguous reshape instead of the BPTT agent-major permutation
+        # (set False to match the mesh path's composition exactly)
+        mlp_contiguous_minibatches=True,
         # host trainer only: keep the obs batch in host RAM and ship
         # one minibatch per update (reference clean_pufferl.py:388-391)
         cpu_offload=False,
@@ -150,7 +154,8 @@ def create(config, vecenv, policy, wandb=None, mesh=None):
     rollout_raw = make_rollout_fn(policy, step_batch, config, T,
         mask_fn=make_mask_fn(env))
     update_raw = make_update_fn(policy, tx, config, T, total_agents,
-        num_minibatches, seg_rows, mesh=mesh)
+        num_minibatches, seg_rows, mesh=mesh,
+        obs_shape=vecenv.single_observation_space.shape)
 
     carry = dict(
         env=env_states,
@@ -301,8 +306,16 @@ def make_rollout_fn(policy, step_batch, config, T, mask_fn=None):
             (env_states, done_next, next_obs, reward, done, trunc,
                 infos) = step_batch(c['env'], c['done'], action, env_keys)
 
+            # stored obs flatten to (N, numel): TPU pads the minor two
+            # dims of every array to tile boundaries, so small spatial
+            # shapes like (7,7) would inflate the batch ~40x in HBM and
+            # make every downstream slice/reshape a real copy; the
+            # minibatch loss restores the native shape at the policy
+            # boundary (free for policies that flatten anyway)
+            obs_store = obs.reshape(obs.shape[0], -1)
             out = dict(
-                obs=obs if store_dtype is None else obs.astype(store_dtype),
+                obs=obs_store if store_dtype is None
+                    else obs_store.astype(store_dtype),
                 action=action, logprob=logprob,
                 value=value.reshape(-1), reward=reward,
                 done=done.astype(jnp.float32), info=infos,
@@ -349,17 +362,23 @@ def make_rollout_fn(policy, step_batch, config, T, mask_fn=None):
     return rollout
 
 
-def make_minibatch_update(policy, tx, config, seg_rows):
+def make_minibatch_update(policy, tx, config, seg_rows, obs_shape=None):
     """One PPO minibatch update: (params, opt_state, mb, lr) ->
-    (params, opt_state, stats). mb is a dict of (rows, h, ...) arrays.
-    Shared by the fused epoch runner and the cpu_offload host path
-    (which jits this alone and streams minibatches from host RAM)."""
+    (params, opt_state, stats). mb is a dict of (rows, h, ...) arrays;
+    obs rows may be stored flat (device batch) or native-shaped (host
+    Experience) — both reshape to the policy's obs_shape here. Shared
+    by the fused epoch runner and the cpu_offload host path (which jits
+    this alone and streams minibatches from host RAM)."""
     recurrent = isinstance(policy, RecurrentPolicy)
     h = config.bptt_horizon
+    if obs_shape is None:
+        obs_shape = getattr(policy.module, 'obs_shape', None)
 
     def update(params, opt_state, mb, lr):
         def loss_fn(p):
-            obs = mb['obs']  # (rows, h, numel)
+            shape = tuple(obs_shape) if obs_shape is not None \
+                else tuple(mb['obs'].shape[2:])
+            obs = mb['obs'].reshape((seg_rows, h) + shape)
             action = mb['action'].reshape(
                 (seg_rows * h,) + mb['action'].shape[2:])
             if recurrent:
@@ -401,7 +420,8 @@ def make_minibatch_update(policy, tx, config, seg_rows):
     return update
 
 
-def make_epoch_runner(policy, tx, config, seg_rows, num_minibatches, S):
+def make_epoch_runner(policy, tx, config, seg_rows, num_minibatches, S,
+        obs_shape=None):
     """The PPO epoch x minibatch scan over pre-segmented data.
 
     seg_batch: dict of (S, h, ...) arrays (obs/action/logprob/value/
@@ -409,7 +429,8 @@ def make_epoch_runner(policy, tx, config, seg_rows, num_minibatches, S):
     fused on-device trainer and the host-env trainer (ppo_host)."""
     has_target_kl = config.target_kl is not None
     target_kl = config.target_kl or 0.0
-    mb_update = make_minibatch_update(policy, tx, config, seg_rows)
+    mb_update = make_minibatch_update(policy, tx, config, seg_rows,
+        obs_shape=obs_shape)
 
     def run_epochs(params, opt_state, seg_batch, key, lr):
         def minibatch_step(carry, mb):
@@ -454,20 +475,36 @@ def make_epoch_runner(policy, tx, config, seg_rows, num_minibatches, S):
 
 
 def make_update_fn(policy, tx, config, T, total_agents, num_minibatches,
-        seg_rows, mesh=None):
+        seg_rows, mesh=None, obs_shape=None):
     """One jitted program: GAE + update_epochs x minibatch PPO."""
     recurrent = isinstance(policy, RecurrentPolicy)
     h = config.bptt_horizon
     n_seg = T // h
     S = total_agents * n_seg
     run_epochs = make_epoch_runner(
-        policy, tx, config, seg_rows, num_minibatches, S)
+        policy, tx, config, seg_rows, num_minibatches, S,
+        obs_shape=obs_shape)
 
-    def segment(x):
-        # (T, N, ...) -> (S, h, ...) with segment s = n*n_seg + c
-        x = x.reshape((n_seg, h, total_agents) + x.shape[2:])
-        x = jnp.moveaxis(x, 2, 0)
-        return x.reshape((S, h) + x.shape[3:])
+    contiguous_ok = (not recurrent and mesh is None
+        and config.get('mlp_contiguous_minibatches', True))
+    if contiguous_ok:
+        # Non-recurrent: rows are iid samples — the BPTT agent-major
+        # permutation is pure layout traffic (the op profile showed it
+        # as 40% of the MLP epoch). A contiguous reshape partitions the
+        # batch into minibatches for free; composition differs from the
+        # segment-major grouping but PPO only needs SOME partition.
+        # Kept agent-major under a mesh (the permutation preserves
+        # lane-aligned shardings; a contiguous reshape would force an
+        # all-to-all) and under mlp_contiguous_minibatches=False (for
+        # bitwise mesh-vs-single-device comparisons).
+        def segment(x):
+            return x.reshape((S, h) + x.shape[2:])
+    else:
+        def segment(x):
+            # (T, N, ...) -> (S, h, ...) with segment s = n*n_seg + c
+            x = x.reshape((n_seg, h, total_agents) + x.shape[2:])
+            x = jnp.moveaxis(x, 2, 0)
+            return x.reshape((S, h) + x.shape[3:])
 
     def segment_lstm(x):
         # (n_seg, layers, N, H) -> (S, layers, H)

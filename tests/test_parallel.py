@@ -12,7 +12,7 @@ from pufferlib_tpu.parallel import make_mesh
 from pufferlib_tpu.training import ppo
 
 
-def make_data(mesh=None, recurrent=False, seed=3):
+def make_data(mesh=None, recurrent=False, seed=3, **cfg):
     creator = env_creator('squared')
     vecenv = vector.make(creator, backend=vector.Device, num_envs=16)
     obs_shape = vecenv.single_observation_space.shape
@@ -28,7 +28,8 @@ def make_data(mesh=None, recurrent=False, seed=3):
             action_space=atn_space, hidden_size=32))
     config = ppo.default_config(env='squared', batch_size=512,
         minibatch_size=256, bptt_horizon=8, total_timesteps=2048,
-        verbose=False, seed=seed, data_dir='/tmp/puffer_tpu_test')
+        verbose=False, seed=seed, data_dir='/tmp/puffer_tpu_test',
+        **cfg)
     return ppo.create(config, vecenv, policy, mesh=mesh)
 
 
@@ -53,9 +54,13 @@ def test_mesh_training_lstm():
 
 
 def test_mesh_matches_single_device():
+    # the mesh path keeps the agent-major minibatch layout; disable the
+    # single-device contiguous fast path so both run the identical
+    # algorithm and must agree bitwise
     mesh = make_mesh(8)
     d_mesh = make_data(mesh=mesh, seed=11)
-    d_single = make_data(mesh=None, seed=11)
+    d_single = make_data(mesh=None, seed=11,
+        mlp_contiguous_minibatches=False)
     ppo.evaluate(d_mesh)
     ppo.evaluate(d_single)
     ppo.train(d_mesh)
