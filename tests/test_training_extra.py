@@ -205,3 +205,30 @@ def test_agent_mask_excludes_dead_agents():
     p, o, stats = data.update_fn(data.params, data.opt_state, batch,
         jax.random.PRNGKey(0), jnp.float32(1e-3))
     assert np.isfinite(float(stats['policy_loss']))
+
+
+def test_rollout_batch_stores_flat_obs():
+    """The rollout batch must store obs flattened to (T, N, numel):
+    TPU pads the minor two dims of every array to tile boundaries, so
+    native small spatial shapes like (7,7) inflate the batch ~40x in
+    HBM (docs/PERF.md item 11). Guards the layout optimization."""
+    import jax
+    import pufferlib_tpu.vector as vector
+    from pufferlib_tpu.models import Default, Policy
+    from pufferlib_tpu.ocean import env_creator
+    from pufferlib_tpu.training import ppo
+
+    vecenv = vector.make(env_creator('squared'), backend=vector.Device,
+        num_envs=16)
+    obs_shape = vecenv.single_observation_space.shape
+    assert len(obs_shape) == 2  # squared obs are a 2-D grid
+    policy = Policy(Default(obs_shape=obs_shape,
+        action_space=vecenv.single_action_space, hidden_size=32))
+    config = ppo.default_config(env='squared', batch_size=512,
+        minibatch_size=256, bptt_horizon=8, total_timesteps=1024,
+        verbose=False, data_dir='/tmp/puffer_tpu_test')
+    data = ppo.create(config, vecenv, policy)
+    _, batch, _, _ = data.rollout_fn(data.params, data.carry)
+    T = 512 // 16
+    assert batch['obs'].shape == (T, 16, int(np.prod(obs_shape)))
+    vecenv.close()
