@@ -398,11 +398,38 @@ def baseline(args, env_module, creator):
     evaluate(args, env_module, creator)
 
 
+def train_sb3(args, env_module, creator):
+    """Alternate SB3 backend (reference demo.py:203-218): the emulated
+    envs are plain gymnasium envs, so stable_baselines3 consumes them
+    directly. Gated on sb3 being installed (it is not in this image;
+    the gymnasium contract it relies on is covered by
+    tests/test_gymnasium_conformance.py)."""
+    try:
+        from stable_baselines3 import PPO
+        from stable_baselines3.common.env_util import make_vec_env
+        from stable_baselines3.common.vec_env import DummyVecEnv
+    except ImportError as e:
+        raise ImportError(
+            'backend sb3 requires stable_baselines3, which is not '
+            'installed in this image') from e
+
+    envs = make_vec_env(lambda: creator(**dict(args.env_kwargs)),
+        n_envs=args.train.get('num_envs', 4), seed=args.train.get(
+            'seed', 0), vec_env_cls=DummyVecEnv)
+    model = PPO('MlpPolicy', envs, verbose=1,
+        n_epochs=args.train.get('update_epochs', 4),
+        gamma=args.train.get('gamma', 0.99))
+    model.learn(total_timesteps=args.train.get('total_timesteps', 10000))
+    return model
+
+
 def main(argv=None):
     from pufferlib_tpu.config.cli import load_config
     args, env_module, creator = load_config(argv=argv)
 
-    if args.mode == 'train':
+    if args.mode == 'train' and getattr(args, 'backend', 'native') == 'sb3':
+        train_sb3(args, env_module, creator)
+    elif args.mode == 'train':
         train(args, env_module, creator)
     elif args.mode == 'eval':
         evaluate(args, env_module, creator)

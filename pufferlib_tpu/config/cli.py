@@ -85,6 +85,8 @@ def load_config(env_name=None, argv=None, config_path=None):
         'bench'))
     base.add_argument('--vec', default='device',
         choices=('device', 'serial', 'multiprocessing'))
+    base.add_argument('--backend', default='native',
+        choices=('native', 'sb3'))
     base.add_argument('--exp-id', '--exp-name', default=None)
     base.add_argument('--model-path', default=None)
     base.add_argument('--track', action='store_true')
@@ -117,6 +119,7 @@ def load_config(env_name=None, argv=None, config_path=None):
     out = namespace(
         env=args.env,
         env_name=creator_name,
+        backend=parsed['backend'],
         sweep=cfg.get('sweep', {}),
         mode=parsed['mode'],
         vec=parsed['vec'],

@@ -84,3 +84,12 @@ def test_demo_routes_host_creator_multiprocessing():
     obs, rew, term, trunc, _ = vecenv.step(np.zeros(2, np.int64))
     assert rew.sum() == 2.0
     vecenv.close()
+
+
+def test_sb3_backend_gated_cleanly():
+    """--backend sb3 raises a clear ImportError when sb3 is absent
+    (reference demo.py:203-218 alternate backend)."""
+    import pytest
+    with pytest.raises(ImportError, match='stable_baselines3'):
+        demo.main(['--env', 'cartpole', '--mode', 'train',
+            '--backend', 'sb3'])
