@@ -399,28 +399,20 @@ def baseline(args, env_module, creator):
 
 
 def train_sb3(args, env_module, creator):
-    """Alternate SB3 backend (reference demo.py:203-218): the emulated
-    envs are plain gymnasium envs, so stable_baselines3 consumes them
-    directly. Gated on sb3 being installed (it is not in this image;
-    the gymnasium contract it relies on is covered by
-    tests/test_gymnasium_conformance.py)."""
-    try:
-        from stable_baselines3 import PPO
-        from stable_baselines3.common.env_util import make_vec_env
-        from stable_baselines3.common.vec_env import DummyVecEnv
-    except ImportError as e:
-        raise ImportError(
-            'backend sb3 requires stable_baselines3, which is not '
-            'installed in this image') from e
-
-    envs = make_vec_env(lambda: creator(**dict(args.env_kwargs)),
-        n_envs=args.train.get('num_envs', 4), seed=args.train.get(
-            'seed', 0), vec_env_cls=DummyVecEnv)
-    model = PPO('MlpPolicy', envs, verbose=1,
-        n_epochs=args.train.get('update_epochs', 4),
+    """Alternate SB3 backend (reference demo.py:203-218): host envs are
+    adapted to real gymnasium.Env instances and handed to
+    stable_baselines3 (frameworks/sb3.py). Gated on sb3 being installed
+    (it is not in this image; the gymnasium contract it relies on is
+    covered by tests/test_gymnasium_conformance.py)."""
+    from pufferlib_tpu.frameworks.sb3 import train_sb3 as sb3_train
+    # SB3 DummyVecEnv is a python loop: keep the env count modest
+    # rather than inheriting the native trainer's lane counts
+    n_envs = min(int(args.train.get('num_envs', 4) or 4), 8)
+    return sb3_train(creator, env_kwargs=dict(args.env_kwargs),
+        n_envs=n_envs, seed=args.train.get('seed', 0),
+        total_timesteps=args.train.get('total_timesteps', 10000),
+        update_epochs=args.train.get('update_epochs', 4),
         gamma=args.train.get('gamma', 0.99))
-    model.learn(total_timesteps=args.train.get('total_timesteps', 10000))
-    return model
 
 
 def main(argv=None):

@@ -42,6 +42,12 @@ def register_env(name, env_creator):
         if _pettingzoo_like(env):
             from ray.rllib.env import ParallelPettingZooEnv
             return ParallelPettingZooEnv(env)
+        from pufferlib_tpu.host_env import (
+            GymnasiumAdapter, GymnasiumPufferEnv)
+        if isinstance(env, GymnasiumPufferEnv):
+            # RLlib isinstance-checks gymnasium.Env and gymnasium
+            # spaces; the duck-typed puffer wrapper must be adapted
+            return GymnasiumAdapter(env)
         return env
 
     tune_register_env(name, make)

@@ -154,6 +154,43 @@ class GymnasiumPufferEnv:
         return self.env.close()
 
 
+class GymnasiumAdapter:
+    """Present a puffer host env as a REAL gymnasium.Env (gymnasium
+    base class, gymnasium space objects, metadata) for third-party
+    consumers that isinstance-check the contract — SB3, RLlib,
+    gymnasium's own env checker. The puffer wrappers themselves stay
+    duck-typed for speed; this is the boundary adapter."""
+
+    def __new__(cls, puffer_env):
+        import gymnasium
+
+        class _Adapter(gymnasium.Env):
+            metadata = {'render_modes': []}
+
+            def __init__(self, inner):
+                self._inner = inner
+                self.observation_space = spaces.to_gymnasium(
+                    inner.single_observation_space)
+                self.action_space = spaces.to_gymnasium(
+                    inner.single_action_space)
+                self.render_mode = getattr(inner, 'render_mode', None)
+
+            def reset(self, seed=None, options=None):
+                super().reset(seed=seed)
+                return self._inner.reset(seed=seed)
+
+            def step(self, action):
+                return self._inner.step(np.asarray(action))
+
+            def render(self):
+                return self._inner.render()
+
+            def close(self):
+                return self._inner.close()
+
+        return _Adapter(puffer_env)
+
+
 class NativePufferEnv:
     """Adapter for reference-style NATIVE PufferEnv implementations —
     envs that already produce flat per-agent arrays (obs shape

@@ -72,8 +72,12 @@ def default_config(**overrides):
         bptt_horizon=16,
         shuffle_minibatches=False,
         # single-device non-recurrent: partition minibatches by free
-        # contiguous reshape instead of the BPTT agent-major permutation
-        # (set False to match the mesh path's composition exactly)
+        # contiguous reshape instead of the BPTT agent-major permutation.
+        # NOTE: changes minibatch COMPOSITION (time-slabs instead of
+        # agent groups), which can shift per-minibatch advantage
+        # normalization statistics slightly; set False to reproduce the
+        # mesh path / reference composition exactly (learning verified
+        # equivalent on the ocean suite either way)
         mlp_contiguous_minibatches=True,
         # host trainer only: keep the obs batch in host RAM and ship
         # one minibatch per update (reference clean_pufferl.py:388-391)

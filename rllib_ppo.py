@@ -4,7 +4,7 @@ supported path there and here). Registers a puffer env with Ray Tune
 and runs PPO with sane defaults. Requires ray[rllib] (not in this
 image); the bridge logic is fake-tested in tests/test_rllib_bridge.py.
 
-Usage: python rllib_ppo.py [--env cartpole] [--timesteps 10000]
+Usage: python rllib_ppo.py [--env cartpole] [--iterations 3]
 """
 import argparse
 

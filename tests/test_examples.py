@@ -12,7 +12,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def _run(script, timeout=420):
     env = dict(os.environ)
-    env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=8'
+    env['XLA_FLAGS'] = (env.get('XLA_FLAGS', '')
+        + ' --xla_force_host_platform_device_count=8').strip()
     # force the CPU backend inside the child (the axon plugin
     # ignores JAX_PLATFORMS; only the config update works)
     code = (

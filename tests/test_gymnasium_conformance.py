@@ -1,8 +1,7 @@
-"""GymnasiumPufferEnv conforms to the gymnasium.Env contract that
-third-party consumers (SB3, CleanRL scripts, gymnasium wrappers) rely
-on — validated with gymnasium's OWN env checker (the in-image stand-in
-for the reference's SB3 interop demos, ref sb3_demo.py /
-examples/puffer_ppo_minihack.py)."""
+"""GymnasiumAdapter (the boundary adapter SB3/RLlib consume) conforms
+to the gymnasium.Env contract — validated with gymnasium's OWN env
+checker (the in-image stand-in for the reference's SB3 interop demos,
+ref sb3_demo.py / examples/puffer_ppo_minihack.py)."""
 import warnings
 
 import numpy as np
@@ -10,7 +9,7 @@ import pytest
 
 import gymnasium
 
-from pufferlib_tpu.host_env import GymnasiumPufferEnv
+from pufferlib_tpu.host_env import GymnasiumAdapter, GymnasiumPufferEnv
 
 
 class _DictEnv(gymnasium.Env):
@@ -33,37 +32,6 @@ class _DictEnv(gymnasium.Env):
             self.np_random.random() < 0.1, False, {})
 
 
-class _GymnasiumShim(gymnasium.Env):
-    """Present a GymnasiumPufferEnv as a registered gymnasium.Env so the
-    official checker accepts it (the puffer wrapper is duck-typed)."""
-
-    def __init__(self, puffer):
-        self._p = puffer
-        self.observation_space = _to_gymnasium(
-            puffer.single_observation_space)
-        self.action_space = _to_gymnasium(puffer.single_action_space)
-        self.render_mode = None
-
-    def reset(self, seed=None, options=None):
-        super().reset(seed=seed)  # seeds self.np_random for the checker
-        return self._p.reset(seed=seed)
-
-    def step(self, action):
-        return self._p.step(np.asarray(action))
-
-
-def _to_gymnasium(space):
-    from pufferlib_tpu import spaces as our
-    if isinstance(space, our.Box):
-        return gymnasium.spaces.Box(low=space.low, high=space.high,
-            shape=space.shape, dtype=space.dtype)
-    if isinstance(space, our.Discrete):
-        return gymnasium.spaces.Discrete(space.n)
-    if isinstance(space, our.MultiDiscrete):
-        return gymnasium.spaces.MultiDiscrete(np.asarray(space.nvec))
-    raise NotImplementedError(type(space))
-
-
 @pytest.mark.parametrize('make_raw', [
     lambda: gymnasium.make('CartPole-v1'),
     _DictEnv,
@@ -72,7 +40,28 @@ def test_puffer_env_passes_gymnasium_checker(make_raw):
     from gymnasium.utils.env_checker import check_env
 
     puffer = GymnasiumPufferEnv(env=make_raw())
-    shim = _GymnasiumShim(puffer)
+    adapted = GymnasiumAdapter(puffer)
+    assert isinstance(adapted, gymnasium.Env)
     with warnings.catch_warnings():
         warnings.simplefilter('ignore')  # checker warns about determinism
-        check_env(shim, skip_render_check=True)
+        check_env(adapted, skip_render_check=True)
+
+
+def test_sb3_env_fn_adapts_and_gates():
+    """frameworks.sb3.make_sb3_env_fn yields real gymnasium envs for
+    host creators and rejects device-native creators with a clear
+    error (the sb3 libraries themselves are not in this image)."""
+    from pufferlib_tpu.frameworks.sb3 import make_sb3_env_fn
+    from pufferlib_tpu.ocean import env_creator as ocean_creator
+
+    fn = make_sb3_env_fn(
+        lambda: GymnasiumPufferEnv(env=gymnasium.make('CartPole-v1')))
+    env = fn()
+    assert isinstance(env, gymnasium.Env)
+    assert isinstance(env.action_space, gymnasium.spaces.Discrete)
+    obs, _ = env.reset(seed=0)
+    env.step(env.action_space.sample())
+    env.close()
+
+    with pytest.raises(TypeError, match='device-native'):
+        make_sb3_env_fn(ocean_creator('squared'))()

@@ -87,7 +87,10 @@ def test_register_env_gymnasium(monkeypatch):
     rllib.register_env('tiny', lambda: GymnasiumPufferEnv(env=_TinyGym()))
     assert 'tiny' in registry
     env = registry['tiny']({})
-    assert isinstance(env, GymnasiumPufferEnv)
+    # RLlib isinstance-checks gymnasium.Env: the registered creator must
+    # yield the REAL-gymnasium adapter, not the duck-typed wrapper
+    assert isinstance(env, gymnasium.Env)
+    assert isinstance(env.action_space, gymnasium.spaces.Discrete)
     obs, _ = env.reset(seed=0)
     assert obs.shape == (3,)
 

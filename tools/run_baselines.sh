@@ -22,19 +22,19 @@ case $GROUP in
         ;;
     classic)
         $COMMON cartpole
-        $COMMON mountain-car
+        $COMMON mountaincar
         ;;
     procgen)
-        for env in bigfish bossfight caveflyer chaser climber coinrun \
-            dodgeball fruitbot heist jumper leaper maze miner ninja \
-            plunder starpilot; do
+        # named config.yaml sections; other procgen games use
+        # --env <name> with the procgen package defaults
+        for env in bigfish coinrun maze miner starpilot; do
             $COMMON $env
         done
         ;;
     atari)
         $COMMON pong --vec multiprocessing
         $COMMON breakout --vec multiprocessing
-        $COMMON beam-rider --vec multiprocessing
+        $COMMON beamrider --vec multiprocessing
         ;;
     *)
         echo "Unknown group: $GROUP"
