@@ -153,3 +153,46 @@ def test_emulate_bytes_match_reference(ref_em, name):
         for r, o in zip(leaves(ref_nat), leaves(our_nat)):
             assert r.dtype == o.dtype and r.shape == o.shape
             assert np.array_equal(r, o), (name, seed)
+
+
+def _random_space(rng, depth=0):
+    """Random nested space tree (no hypothesis in-image; seeded fuzz)."""
+    leaf_dtypes = [np.uint8, np.int8, np.int16, np.int32, np.float32]
+    kind = rng.randint(0, 6 if depth < 2 else 2)
+    if kind in (0, 1):  # Box leaf
+        dtype = leaf_dtypes[rng.randint(len(leaf_dtypes))]
+        ndim = rng.randint(1, 4)
+        shape = tuple(int(rng.randint(1, 6)) for _ in range(ndim))
+        if np.issubdtype(dtype, np.floating):
+            return gymnasium.spaces.Box(-1, 1, shape, dtype)
+        info = np.iinfo(dtype)
+        return gymnasium.spaces.Box(info.min, info.max, shape, dtype)
+    if kind < 4:  # Dict
+        n = rng.randint(1, 4)
+        return gymnasium.spaces.Dict({
+            f'k{i}': _random_space(rng, depth + 1) for i in range(n)})
+    # Tuple
+    n = rng.randint(1, 4)
+    return gymnasium.spaces.Tuple([
+        _random_space(rng, depth + 1) for _ in range(n)])
+
+
+def test_emulation_fuzz_vs_reference(ref_em):
+    """Seeded fuzz over 40 random nested space trees: structured dtype
+    layouts and emulate() byte packing must match the reference for
+    every tree (broadens the fixed grid above)."""
+    rng = np.random.RandomState(7)
+    for trial in range(40):
+        space = _random_space(rng)
+        ref_dt = ref_em.dtype_from_space(space)
+        our_dt = our_em.dtype_from_space(our_spaces.from_gymnasium(space))
+        assert np.dtype(ref_dt) == np.dtype(our_dt), (trial, space)
+
+        space.seed(trial)
+        sample = space.sample()
+        ref_struct = np.zeros(1, dtype=ref_dt)
+        ref_em.emulate(ref_struct[0], sample)
+        our_struct = np.zeros(1, dtype=our_dt)
+        our_em.emulate(our_struct[0], sample)
+        assert ref_struct.tobytes() == our_struct.tobytes(), (
+            trial, space)
