@@ -147,3 +147,50 @@ def test_squared_learns():
             scores.append(stats['score'])
         ppo.train(data)
     assert scores[-1] > scores[0] + 0.1 or scores[-1] > 0.8, scores
+
+
+def _learn(env_name, env_kwargs, lr, epochs, threshold, batch=4096,
+        num_envs=128, bptt=4):
+    creator = env_creator(env_name)
+    vecenv = vector.make(creator, env_kwargs=env_kwargs,
+        backend=vector.Device, num_envs=num_envs)
+    policy = Policy(Default(
+        obs_shape=vecenv.single_observation_space.shape,
+        action_space=vecenv.single_action_space, hidden_size=64))
+    config = ppo.default_config(env=env_name, batch_size=batch,
+        minibatch_size=batch // 4, bptt_horizon=bptt,
+        total_timesteps=batch * epochs, learning_rate=lr,
+        verbose=False, data_dir='/tmp/puffer_tpu_test')
+    data = ppo.create(config, vecenv, policy)
+    best = 0.0
+    while data.global_step < config.total_timesteps:
+        stats, _ = ppo.evaluate(data)
+        ppo.train(data)
+        best = max(best, stats.get('score', 0.0))
+        if best > threshold:
+            break
+    ppo.close(data)
+    assert best > threshold, f'{env_name} best score {best}'
+
+
+@pytest.mark.slow
+def test_password_learns():
+    """Password: latch onto the sparse exact-match reward (reference
+    ocean README 'train within minutes')."""
+    _learn('password', dict(password_length=3), lr=0.02, epochs=60,
+        threshold=0.9)
+
+
+@pytest.mark.slow
+def test_stochastic_learns():
+    """Stochastic: learn a MIXED policy (play 0 with p=0.75) — fails
+    for any argmax-deterministic learner."""
+    _learn('stochastic', dict(p=0.75, horizon=100), lr=0.01, epochs=30,
+        threshold=0.95)
+
+
+@pytest.mark.slow
+def test_bandit_learns():
+    """Bandit: find the fixed solution arm."""
+    _learn('bandit', dict(num_actions=4), lr=0.02, epochs=20,
+        threshold=0.85)
