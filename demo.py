@@ -391,7 +391,10 @@ def baseline(args, env_module, creator):
     artifact_name = f'{args.exp_id}_model:latest'
     artifact = wandb.run.use_artifact(artifact_name)
     data_dir = artifact.download()
-    ckpts = sorted(os.listdir(data_dir))
+    # only model checkpoints — trainer_state.ckpt sorts after model_*
+    # and is optimizer state, not params
+    ckpts = sorted(f for f in os.listdir(data_dir)
+        if f.startswith('model_'))
     if not ckpts:
         raise FileNotFoundError(f'no checkpoints in artifact {artifact_name}')
     args.model_path = os.path.join(data_dir, ckpts[-1])

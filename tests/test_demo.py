@@ -1,6 +1,8 @@
 """demo.py routing: device-native creators go through vector.Device /
 the fused trainer; external host envs through vector_host + ppo_host
 (reference demo.py wires everything through one vector.make)."""
+import os
+
 import numpy as np
 
 import demo
@@ -93,3 +95,57 @@ def test_sb3_backend_gated_cleanly():
     with pytest.raises(ImportError, match='stable_baselines3'):
         demo.main(['--env', 'cartpole', '--mode', 'train',
             '--backend', 'sb3'])
+
+
+def test_profile_mode_runs(monkeypatch, capsys):
+    """--mode profile: cProfile over a short train, top functions
+    printed (reference demo.py:278-284)."""
+    demo.main(['--env', 'squared', '--mode', 'profile',
+        '--train.num_envs', '64',
+        '--train.batch_size', '1024',
+        '--train.minibatch_size', '512',
+        '--train.bptt_horizon', '8',
+        '--no-train.verbose'])
+    out = capsys.readouterr().out
+    assert 'cumulative' in out or 'function calls' in out
+
+
+def test_baseline_mode_downloads_artifact(monkeypatch, capsys):
+    """--mode baseline: pulls the latest wandb model artifact and
+    evaluates it (reference demo.py:245-258) — driven by a fake wandb
+    artifact API."""
+    import sys
+    import types
+    import numpy as np
+    from pufferlib_tpu.training import checkpoint as ckpt
+
+    # train something tiny first so a real checkpoint exists to serve
+    import uuid
+    exp_id = f'baseline-{uuid.uuid4().hex[:6]}'
+    demo.main(['--env', 'squared', '--mode', 'train',
+        '--exp-id', exp_id,
+        '--train.total_timesteps', '1024',
+        '--train.num_envs', '64',
+        '--train.batch_size', '1024',
+        '--train.minibatch_size', '512',
+        '--train.bptt_horizon', '8',
+        '--no-train.verbose'])
+    art_dir = os.path.join('experiments', exp_id)
+
+    class FakeArtifact:
+        def download(self):
+            return art_dir
+
+    fake = types.ModuleType('wandb')
+    fake.init = lambda **kw: fake
+    fake.run = types.SimpleNamespace(
+        use_artifact=lambda name: FakeArtifact())
+    fake.util = types.SimpleNamespace(generate_id=lambda: 'x')
+    monkeypatch.setitem(sys.modules, 'wandb', fake)
+    monkeypatch.setenv('PUFFER_EVAL_STEPS', '2')
+    monkeypatch.setenv('PUFFER_EVAL_DELAY', '0')
+
+    demo.main(['--env', 'squared', '--mode', 'baseline',
+        '--exp-id', exp_id])
+    out = capsys.readouterr().out
+    assert out.count('Reward:') == 2
