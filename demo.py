@@ -234,10 +234,15 @@ def autotune(args, env_module, creator, epochs=8):
             max_envs=args.train.get('num_envs') or 64)
 
     results = {}
-    n = 512
-    horizon = 64
+    # lane ladder overridable for tests/small hosts
+    lanes = os.environ.get('PUFFER_AUTOTUNE_LANES')
+    if lanes:
+        ladder = [int(x) for x in lanes.split(',')]
+    else:
+        ladder = [512 * 4 ** i for i in range(5)]  # 512..131072
+    horizon = int(os.environ.get('PUFFER_AUTOTUNE_HORIZON', 64))
     print(f'{"num_envs":>10} {"SPS":>14} {"ms/epoch":>10}')
-    while n <= 65536:
+    for n in ladder:
         try:
             vecenv = make_vecenv(args, creator, backend_name='device',
                 num_envs=n)
@@ -268,7 +273,6 @@ def autotune(args, env_module, creator, epochs=8):
         except Exception as e:
             print(f'{n:>10} failed: {e}')
             break
-        n *= 4
     best = max(results, key=results.get)
     print(f'Best: --train.num_envs {best} ({results[best]:.0f} SPS)')
     return results

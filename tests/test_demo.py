@@ -149,3 +149,16 @@ def test_baseline_mode_downloads_artifact(monkeypatch, capsys):
         '--exp-id', exp_id])
     out = capsys.readouterr().out
     assert out.count('Reward:') == 2
+
+
+def test_autotune_mode_device(monkeypatch, capsys):
+    """--mode autotune for device envs: sweeps the lane ladder and
+    reports the max-SPS lane count (the TPU analog of the reference's
+    worker/batch autotune)."""
+    monkeypatch.setenv('PUFFER_AUTOTUNE_LANES', '64')
+    monkeypatch.setenv('PUFFER_AUTOTUNE_HORIZON', '16')
+    demo.main(['--env', 'squared', '--mode', 'autotune',
+        '--train.batch_size', '1024',
+        '--train.minibatch_size', '512'])
+    out = capsys.readouterr().out
+    assert 'Best: --train.num_envs 64' in out
