@@ -62,7 +62,10 @@ def profile(fn):
 
 
 class Suppress:
-    """fd-level stdout/stderr silencing (swallows C-level output too)."""
+    """stdout/stderr silencing at BOTH levels: fds 1/2 (swallows
+    C-level output) and sys.stdout/sys.stderr (swallows python prints
+    even when the sys streams are not fd-backed, e.g. under pytest or
+    notebook captures)."""
 
     def __enter__(self):
         self.null = os.open(os.devnull, os.O_WRONLY)
@@ -71,11 +74,16 @@ class Suppress:
         self.saved = (os.dup(1), os.dup(2))
         os.dup2(self.null, 1)
         os.dup2(self.null, 2)
+        self.saved_sys = (sys.stdout, sys.stderr)
+        devnull_stream = open(os.devnull, 'w')
+        self._null_stream = devnull_stream
+        sys.stdout = devnull_stream
+        sys.stderr = devnull_stream
         return self
 
     def __exit__(self, *args):
-        sys.stdout.flush()
-        sys.stderr.flush()
+        sys.stdout, sys.stderr = self.saved_sys
+        self._null_stream.close()
         os.dup2(self.saved[0], 1)
         os.dup2(self.saved[1], 2)
         os.close(self.saved[0])
