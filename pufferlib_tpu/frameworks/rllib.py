@@ -84,52 +84,62 @@ def create_policies(n, observation_space=None, action_space=None,
 
 
 def make_policy(policy_cls, lstm_layers=0):
-    """Wrap a torch module class exposing the puffer model API
-    (encode_observations / decode_actions / critic) as an RLlib model
-    (ref rllib.py:59-108). lstm_layers > 0 produces a RecurrentNetwork
-    carrying (h, c) through forward_rnn."""
+    """Adapt a torch module class exposing the puffer model API
+    (encode_observations / decode_actions / critic) to RLlib's custom
+    model interface. lstm_layers > 0 yields a RecurrentNetwork whose
+    forward_rnn carries (h, c).
+
+    Design: composition, not mixin — the user's module is constructed
+    as a submodule (`self.net`, so nn.Module parameter registration
+    still sees it) and the RLlib hooks delegate to its encode/decode
+    split. Positional args go to the RLlib base (obs_space,
+    action_space, num_outputs, model_config, name); kwargs go to the
+    user's module. Behavioral spec: reference rllib.py:59-108.
+    """
     import torch
 
-    if lstm_layers > 0:
+    recurrent = lstm_layers > 0
+    if recurrent:
         from ray.rllib.models.torch.recurrent_net import (
-            RecurrentNetwork as RLlibRecurrentNetwork)
+            RecurrentNetwork as _Base)
+    else:
+        from ray.rllib.models.torch.torch_modelv2 import (
+            TorchModelV2 as _Base)
 
-        class RLlibRecurrentPolicy(RLlibRecurrentNetwork, policy_cls):
-            def __init__(self, *args, **kwargs):
-                policy_cls.__init__(self, **kwargs)
-                RLlibRecurrentNetwork.__init__(self, *args)
-
-            def get_initial_state(self, batch_size=1):
-                return tuple(
-                    torch.zeros(self.lstm.num_layers,
-                        self.lstm.hidden_size)
-                    for _ in range(2))
-
-            def value_function(self):
-                return self.value.view(-1)
-
-            def forward_rnn(self, x, state, seq_lens):
-                hidden, state = self.encode_observations(x, state)
-                self.value = self.critic(hidden)
-                logits = self.decode_actions(hidden)
-                return logits, state
-
-        return RLlibRecurrentPolicy
-
-    from ray.rllib.models.torch.torch_modelv2 import TorchModelV2
-
-    class RLlibPolicy(TorchModelV2, policy_cls):
-        def __init__(self, *args, **kwargs):
-            policy_cls.__init__(self, **kwargs)
-            TorchModelV2.__init__(self, *args)
+    class _PufferAdapter(_Base, torch.nn.Module):
+        def __init__(self, *rllib_args, **policy_kwargs):
+            torch.nn.Module.__init__(self)
+            _Base.__init__(self, *rllib_args)
+            self.net = policy_cls(**policy_kwargs)
+            self._value_out = None
 
         def value_function(self):
-            return self.value.view(-1)
+            # critic output cached by the most recent forward pass
+            return torch.reshape(self._value_out, (-1,))
 
-        def forward(self, x, state, seq_lens):
-            hidden = self.encode_observations(x['obs'].float())
-            self.value = self.critic(hidden)
-            logits = self.decode_actions(hidden)
-            return logits, state
+    if recurrent:
 
-    return RLlibPolicy
+        class PufferRLlibRecurrentModel(_PufferAdapter):
+            def get_initial_state(self, batch_size=1):
+                cell = self.net.lstm
+                dims = (cell.num_layers, cell.hidden_size)
+                return [torch.zeros(dims), torch.zeros(dims)]
+
+            def forward_rnn(self, inputs, state, seq_lens):
+                hidden, state = self.net.encode_observations(
+                    inputs, state)
+                self._value_out = self.net.critic(hidden)
+                return self.net.decode_actions(hidden), state
+
+        return PufferRLlibRecurrentModel
+
+    class PufferRLlibModel(_PufferAdapter):
+        def forward(self, input_dict, state, seq_lens):
+            obs = input_dict['obs']
+            if not obs.is_floating_point():
+                obs = obs.to(torch.float32)
+            hidden = self.net.encode_observations(obs)
+            self._value_out = self.net.critic(hidden)
+            return self.net.decode_actions(hidden), state
+
+    return PufferRLlibModel

@@ -27,28 +27,50 @@ def hsv_to_rgb(hsv):
         choices, i[None, ..., None].repeat(3, -1), axis=0)[0]
 
 
+#: cell-edge upscale factor from the counts grid to map pixels
+_CELL = 16
+#: visit counts saturate the heat scale here (hue hits pure red)
+_HEAT_CAP = 1000.0
+#: overlay opacity on visited cells
+_ALPHA = 0.8
+
+
+def _heat_rgb(heat):
+    """Map heat in [0, 1] to a fully-saturated color ramp, blue (cold)
+    through green to red (hot). Equivalent to walking hue from 2/3 down
+    to 0 at s=v=1, computed directly with the triangular hue-wheel
+    formula instead of a generic HSV conversion.
+
+    Behavioral spec: reference pokemon_red_eval.py:14-38 (which routes
+    through matplotlib hsv_to_rgb).
+    """
+    sixh = 4.0 * (1.0 - heat)  # 6*hue, hue = 2*(1-heat)/3
+    r = np.clip(np.abs(sixh - 3.0) - 1.0, 0.0, 1.0)
+    g = np.clip(2.0 - np.abs(sixh - 2.0), 0.0, 1.0)
+    b = np.clip(2.0 - np.abs(sixh - 4.0), 0.0, 1.0)
+    return np.stack([r, g, b], axis=-1)
+
+
 def make_pokemon_red_overlay(bg, counts):
-    """Heat overlay of visit counts on the Kanto map background
-    (reference pokemon_red_eval.py:14-38): count -> hue, upscale 16x,
-    blend 80/20 onto the background where visited."""
-    counts = np.asarray(counts)
-    nonzero = np.where(counts > 0, 1, 0)
-    scaled = np.clip(counts, 0, 1000) / 1000.0
+    """Render visit counts as a heat overlay on the Kanto map: each
+    counts cell becomes a 16x16 pixel block; visited blocks composite
+    their heat color onto the background at 80% opacity, unvisited
+    pixels pass the background through unchanged.
 
-    hsv = np.zeros((*counts.shape, 3))
-    hsv[..., 0] = 2 * (1 - scaled) / 3
-    hsv[..., 1] = nonzero
-    hsv[..., 2] = nonzero
-    overlay = (255 * hsv_to_rgb(hsv))
+    Behavioral spec: reference pokemon_red_eval.py:14-38.
+    """
+    counts = np.asarray(counts, dtype=np.float64)
+    heat = np.minimum(counts, _HEAT_CAP) / _HEAT_CAP
+    color = np.floor(255.0 * _heat_rgb(heat))  # uint8 quantization
 
-    kernel = np.ones((16, 16, 1), dtype=np.uint8)
-    overlay = np.kron(overlay, kernel).astype(np.uint8)
-    mask = np.kron(nonzero, kernel[..., 0]).astype(bool)
-    mask = np.stack([mask, mask, mask], axis=-1)
+    # Upscale per-cell values to pixel blocks along both grid axes.
+    color = color.repeat(_CELL, axis=0).repeat(_CELL, axis=1)
+    visited = (counts > 0).repeat(_CELL, axis=0).repeat(_CELL, axis=1)
 
-    render = np.asarray(bg).copy().astype(np.int32)
-    render[mask] = 0.2 * render[mask] + 0.8 * overlay[mask]
-    return np.clip(render, 0, 255).astype(np.uint8)
+    bg = np.asarray(bg)
+    blended = (1.0 - _ALPHA) * bg.astype(np.float64) + _ALPHA * color
+    out = np.where(visited[..., None], blended, bg)
+    return np.clip(out, 0, 255).astype(np.uint8)
 
 
 def map_updater(bg_path='kanto_map_dsv.png'):
@@ -71,7 +93,8 @@ def map_updater(bg_path='kanto_map_dsv.png'):
         background = bg
         if background is None:
             background = np.zeros(
-                (counts.shape[0] * 16, counts.shape[1] * 16, 3), np.uint8)
+                (counts.shape[0] * _CELL, counts.shape[1] * _CELL, 3),
+                np.uint8)
         return make_pokemon_red_overlay(background, counts)
 
     return update

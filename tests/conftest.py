@@ -15,3 +15,20 @@ if 'host_platform_device_count' not in flags:
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default-skip slow learning proofs so a naive `pytest tests/` finishes
+    within a ~8 minute budget on this box. Opt in with PUFFER_SLOW=1 or an
+    explicit `-m slow` / `-m "slow or not slow"` marker expression."""
+    if os.environ.get('PUFFER_SLOW'):
+        return
+    if 'slow' in (config.getoption('-m') or ''):
+        return
+    skip = pytest.mark.skip(
+        reason='slow learning proof; set PUFFER_SLOW=1 or -m slow to run')
+    for item in items:
+        if 'slow' in item.keywords:
+            item.add_marker(skip)

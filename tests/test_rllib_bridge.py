@@ -146,6 +146,38 @@ def test_make_policy_wraps_torch_module(monkeypatch):
     assert model.value_function().shape == (4,)
 
 
+def test_make_policy_recurrent(monkeypatch):
+    _install_fake_ray(monkeypatch)
+    import torch
+    from pufferlib_tpu.frameworks import rllib
+
+    class RecurrentTorchPolicy(torch.nn.Module):
+        def __init__(self, hidden=8):
+            super().__init__()
+            self.fc = torch.nn.Linear(3, hidden)
+            self.lstm = torch.nn.LSTM(hidden, hidden, num_layers=1)
+            self.head = torch.nn.Linear(hidden, 2)
+            self.critic = torch.nn.Linear(hidden, 1)
+
+        def encode_observations(self, x, state):
+            hidden, state = self.lstm(self.fc(x), state)
+            return hidden, state
+
+        def decode_actions(self, hidden):
+            return self.head(hidden)
+
+    cls = rllib.make_policy(RecurrentTorchPolicy, lstm_layers=1)
+    model = cls('modelv2-args', hidden=8)
+    h0, c0 = model.get_initial_state()
+    assert h0.shape == (1, 8) and c0.shape == (1, 8)
+    state = (h0.unsqueeze(1), c0.unsqueeze(1))
+    logits, state = model.forward_rnn(torch.zeros(5, 1, 3), state, None)
+    assert logits.shape == (5, 1, 2)
+    assert model.value_function().shape == (5,)
+    # parameters of the wrapped module are registered on the adapter
+    assert any(p.requires_grad for p in model.parameters())
+
+
 def test_read_checkpoints_empty(monkeypatch, tmp_path):
     _install_fake_ray(monkeypatch)
     from pufferlib_tpu.frameworks import rllib
