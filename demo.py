@@ -319,6 +319,23 @@ def sample_sweep_params(space, rng):
     return out
 
 
+def sweep_objective(data, metric, mode='mean'):
+    """Sweep objective for one finished run: a statistic of the metric's
+    time series over the WHOLE run (data.stats_history), not just the
+    noisy final epoch — mirroring how the reference's wandb sweeps
+    optimize the logged series (reference demo.py:132-151).
+
+    mode: 'mean' (default), 'max', or 'final'. Falls back to the final
+    stats dict (then episode_return) when the series never saw the
+    metric."""
+    series = [s[metric] for _, s in getattr(data, 'stats_history', [])
+        if metric in s]
+    if series and mode != 'final':
+        return float(np.max(series) if mode == 'max' else np.mean(series))
+    final = data.stats.get(metric, data.stats.get('episode_return', 0.0))
+    return float(series[-1] if series else final)
+
+
 def sweep(args, env_module, creator):
     """Hyperparameter sweep over the config.yaml sweep section. Uses
     wandb sweeps when --track is set, else local random search
@@ -377,8 +394,8 @@ def sweep(args, env_module, creator):
         args.exp_id = None
         try:
             data = train(args, env_module, creator)
-            score = data.stats.get(metric, data.stats.get(
-                'episode_return', 0.0))
+            score = sweep_objective(data, metric,
+                mode=sweep_cfg.get('objective', 'mean'))
             results.append({**params, metric: float(score)})
             print(json.dumps(results[-1]))
         except Exception as e:

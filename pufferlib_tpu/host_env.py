@@ -154,41 +154,69 @@ class GymnasiumPufferEnv:
         return self.env.close()
 
 
-class GymnasiumAdapter:
+#: the real gymnasium.Env subclass backing GymnasiumAdapter; created on
+#: first use (gymnasium imports stay lazy for worker spawn speed) and
+#: cached at module scope so instances pickle (SB3 SubprocVecEnv) and
+#: isinstance(x, GymnasiumAdapter) holds.
+_gymnasium_adapter_cls = None
+
+
+def _make_gymnasium_adapter_cls():
+    global _gymnasium_adapter_cls
+    if _gymnasium_adapter_cls is not None:
+        return _gymnasium_adapter_cls
+    import gymnasium
+
+    class GymnasiumAdapterImpl(gymnasium.Env):
+        metadata = {'render_modes': []}
+
+        def __init__(self, inner):
+            self._inner = inner
+            self.observation_space = spaces.to_gymnasium(
+                inner.single_observation_space)
+            self.action_space = spaces.to_gymnasium(
+                inner.single_action_space)
+            self.render_mode = getattr(inner, 'render_mode', None)
+
+        def reset(self, seed=None, options=None):
+            super().reset(seed=seed)
+            return self._inner.reset(seed=seed)
+
+        def step(self, action):
+            return self._inner.step(np.asarray(action))
+
+        def render(self):
+            return self._inner.render()
+
+        def close(self):
+            return self._inner.close()
+
+    # register under a stable module-level name so pickle round-trips
+    GymnasiumAdapterImpl.__qualname__ = 'GymnasiumAdapterImpl'
+    globals()['GymnasiumAdapterImpl'] = GymnasiumAdapterImpl
+    _gymnasium_adapter_cls = GymnasiumAdapterImpl
+    return GymnasiumAdapterImpl
+
+
+class _GymnasiumAdapterMeta(type):
+    def __instancecheck__(cls, obj):
+        return (_gymnasium_adapter_cls is not None
+            and isinstance(obj, _gymnasium_adapter_cls))
+
+    def __call__(cls, puffer_env):
+        return _make_gymnasium_adapter_cls()(puffer_env)
+
+
+class GymnasiumAdapter(metaclass=_GymnasiumAdapterMeta):
     """Present a puffer host env as a REAL gymnasium.Env (gymnasium
     base class, gymnasium space objects, metadata) for third-party
     consumers that isinstance-check the contract — SB3, RLlib,
     gymnasium's own env checker. The puffer wrappers themselves stay
-    duck-typed for speed; this is the boundary adapter."""
+    duck-typed for speed; this is the boundary adapter.
 
-    def __new__(cls, puffer_env):
-        import gymnasium
-
-        class _Adapter(gymnasium.Env):
-            metadata = {'render_modes': []}
-
-            def __init__(self, inner):
-                self._inner = inner
-                self.observation_space = spaces.to_gymnasium(
-                    inner.single_observation_space)
-                self.action_space = spaces.to_gymnasium(
-                    inner.single_action_space)
-                self.render_mode = getattr(inner, 'render_mode', None)
-
-            def reset(self, seed=None, options=None):
-                super().reset(seed=seed)
-                return self._inner.reset(seed=seed)
-
-            def step(self, action):
-                return self._inner.step(np.asarray(action))
-
-            def render(self):
-                return self._inner.render()
-
-            def close(self):
-                return self._inner.close()
-
-        return _Adapter(puffer_env)
+    Calling GymnasiumAdapter(env) returns an instance of the cached
+    module-level gymnasium.Env subclass, so instances are picklable
+    and isinstance(x, GymnasiumAdapter) is True for them."""
 
 
 class NativePufferEnv:

@@ -29,6 +29,9 @@ def init_distributed(coordinator_address=None, num_processes=None,
     # NOTE: do not touch jax.process_count()/jax.devices() here — any
     # backend query initializes the runtime and initialize() must run
     # before that
+    state = getattr(jax.distributed, 'global_state', None)
+    if state is not None and getattr(state, 'client', None) is not None:
+        return  # already initialized
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

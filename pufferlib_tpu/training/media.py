@@ -107,6 +107,14 @@ def collect_media_stats(infos, stats, wandb, data):
     key -> array (device trainer). Mutates `stats`; returns the set of
     keys consumed (so numeric aggregation skips them). `data` carries
     the persistent accumulator (`pokemon_map`, `map_updater`).
+
+    NOTE (device trainer): the fused path accumulates infos by SUM over
+    envs and steps inside the jitted program, so a `*_map` info coming
+    through ppo._materialize_metrics carries summed counts — only
+    idempotent / accumulator-style maps (e.g. visit counters, which the
+    overlay clips anyway) render meaningfully there. The host trainer
+    passes per-env values and matches the reference exactly
+    (clean_pufferl.py:125-146).
     """
     consumed = set()
     if wandb is None:

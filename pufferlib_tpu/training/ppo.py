@@ -37,7 +37,7 @@ from pufferlib_tpu import spaces
 from pufferlib_tpu.environment import select_tree
 from pufferlib_tpu.exceptions import APIUsageError
 from pufferlib_tpu.models import Policy, RecurrentPolicy, count_params
-from pufferlib_tpu.namespace import namespace
+from pufferlib_tpu.namespace import Namespace, namespace
 from pufferlib_tpu.ops import compute_gae, ppo_losses
 from pufferlib_tpu.training import checkpoint as ckpt
 from pufferlib_tpu.training import media
@@ -92,6 +92,41 @@ def default_config(**overrides):
     if cfg.exp_id is None:
         cfg.exp_id = f'{cfg.env}-{uuid.uuid4().hex[:8]}'
     return cfg
+
+
+class TrainerData(Namespace):
+    """Trainer state record. The fused step()/step_many() paths leave
+    the newest metrics on device (`pending`); reading .stats/.losses/
+    .infos materializes them first, so user code never observes stale
+    values after step(). Internal hot paths read the shadow fields
+    (_stats/_losses/_infos) directly to avoid the device sync."""
+
+    @property
+    def stats(self):
+        _materialize_metrics(self)
+        return self.__dict__['_stats']
+
+    @stats.setter
+    def stats(self, value):
+        self.__dict__['_stats'] = value
+
+    @property
+    def losses(self):
+        _materialize_metrics(self)
+        return self.__dict__['_losses']
+
+    @losses.setter
+    def losses(self, value):
+        self.__dict__['_losses'] = value
+
+    @property
+    def infos(self):
+        _materialize_metrics(self)
+        return self.__dict__['_infos']
+
+    @infos.setter
+    def infos(self, value):
+        self.__dict__['_infos'] = value
 
 
 def create(config, vecenv, policy, wandb=None, mesh=None):
@@ -249,7 +284,7 @@ def create(config, vecenv, policy, wandb=None, mesh=None):
         carry = jax.device_put(carry, c_shard)
 
     msg = f'Model Size: {count_params(params)} parameters'
-    data = namespace(
+    data = TrainerData(
         config=config,
         vecenv=vecenv,
         policy=policy,
@@ -263,12 +298,17 @@ def create(config, vecenv, policy, wandb=None, mesh=None):
         pending=None,
         batch=None,
         profile=Profile(),
-        losses=make_losses(),
+        # shadow fields behind the materializing properties
+        _losses=make_losses(),
+        _stats={},
+        _infos={},
+        # (global_step, stats) time series; sweeps optimize over the
+        # run rather than the noisy final epoch (reference wandb sweeps
+        # optimize the logged series, demo.py:132-151)
+        stats_history=[],
         wandb=wandb,
         global_step=0,
         epoch=0,
-        stats={},
-        infos={},
         msg=msg,
         last_log_time=0.0,
         utilization=None,
@@ -604,6 +644,7 @@ def evaluate(data):
                 stats[k] = float(np.sum(v)) / denom
         data.stats = stats
         data.infos = info_sums
+        record_stats(data)
 
     return data.stats, data.infos
 
@@ -709,7 +750,9 @@ def step(data):
     if data.epoch % config.checkpoint_interval == 0 or done_training:
         ckpt.save_checkpoint(data)
         data.msg = f'Checkpoint saved at update {data.epoch}'
-    return data.stats
+    # return the last-materialized stats WITHOUT forcing a device sync
+    # (reading data.stats materializes pending metrics; see TrainerData)
+    return data.__dict__['_stats']
 
 
 def step_many(data, epochs):
@@ -746,7 +789,8 @@ def step_many(data, epochs):
         _log_wandb(data)
     if done_training or data.epoch % config.checkpoint_interval < epochs:
         ckpt.save_checkpoint(data)
-    return data.stats
+    # no forced device sync here — see step()
+    return data.__dict__['_stats']
 
 
 def _log_wandb(data):
@@ -782,13 +826,32 @@ def _materialize_metrics(data):
     valid = info_sums.pop('_valid', None)
     denom = float(np.sum(valid)) if valid is not None \
         else float(episode_count)
-    data.stats = {}
+    stats_out = {}
     media_keys = media.collect_media_stats(
-        info_sums, data.stats, data.wandb, data)
-    data.stats.update({k: float(np.sum(v)) / denom
+        info_sums, stats_out, data.wandb, data)
+    stats_out.update({k: float(np.sum(v)) / denom
         for k, v in info_sums.items()
         if denom > 0 and k not in media_keys})
+    data.stats = stats_out
     data.infos = info_sums
+    record_stats(data)
+
+
+def record_stats(data):
+    """Append the current stats snapshot to data.stats_history (the
+    sweep objective's time series), bounded by decimation."""
+    history = data.get('stats_history')
+    if history is None:
+        return
+    # TrainerData shadows stats behind '_stats'; the host trainer's
+    # plain namespace stores it as 'stats'
+    stats = data.get('_stats') or data.get('stats') or {}
+    numeric = {k: v for k, v in stats.items()
+        if isinstance(v, (int, float))}
+    if numeric:
+        history.append((data.global_step, numeric))
+        if len(history) > 8192:  # keep memory bounded on long runs
+            del history[::2]
 
 
 def close(data):

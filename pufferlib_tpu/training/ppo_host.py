@@ -27,7 +27,8 @@ from pufferlib_tpu.ops import compute_gae_flat
 from pufferlib_tpu.training import checkpoint as ckpt
 from pufferlib_tpu.training import media
 from pufferlib_tpu.training.ppo import (
-    default_config, make_epoch_runner, make_minibatch_update)
+    default_config, make_epoch_runner, make_minibatch_update,
+    record_stats)
 from pufferlib_tpu.training.profile import Profile, make_losses
 from pufferlib_tpu.utils import profile as profile_deco, unroll_nested_dict
 
@@ -196,6 +197,7 @@ def create(config, vecenv, policy, wandb=None):
         epoch=0,
         stats={},
         infos={},
+        stats_history=[],
         msg=f'Model Size: {count_params(params)} parameters',
         last_log_time=0.0,
         utilization=None,
@@ -271,6 +273,7 @@ def evaluate(data):
                 data.stats[k] = float(np.mean(v))
             except (TypeError, ValueError):
                 continue
+        record_stats(data)
     return data.stats, infos
 
 
@@ -309,14 +312,19 @@ def _train_offloaded(data, seg_batch, lr, update_key):
                     seg_batch)
             data.params, data.opt_state, stats = data.run_minibatch(
                 data.params, data.opt_state, mb, lr_dev)
-            epoch_stats = stats
             stats_sum = stats if stats_sum is None else jax.tree.map(
                 jnp.add, stats_sum, stats)
             n += 1
-        if config.target_kl is not None:
-            # one scalar fetch per epoch to honor the early stop
-            if float(epoch_stats['approx_kl']) > config.target_kl:
+            # per-minibatch early stop, matching the fused run_epochs
+            # path (and reference clean_pufferl.py:256-258). The scalar
+            # fetch syncs the dispatch pipeline, so only pay it when
+            # the option is on.
+            if config.target_kl is not None and \
+                    float(stats['approx_kl']) > config.target_kl:
                 break
+        else:
+            continue
+        break
     stats = jax.tree.map(lambda x: np.asarray(x) / n, stats_sum)
     jax.block_until_ready(stats['policy_loss'])
     return stats

@@ -162,3 +162,43 @@ def test_autotune_mode_device(monkeypatch, capsys):
         '--train.minibatch_size', '512'])
     out = capsys.readouterr().out
     assert 'Best: --train.num_envs 64' in out
+
+
+def test_sweep_objective_uses_run_series():
+    """The sweep objective is a statistic over the run's whole metric
+    series, not the final epoch (reference wandb sweeps optimize the
+    logged series, demo.py:132-151)."""
+    data = namespace(
+        stats_history=[(1024, {'score': 0.1}), (2048, {'score': 0.5}),
+            (3072, {'score': 0.3})],
+        stats={'score': 0.3})
+    assert demo.sweep_objective(data, 'score', 'mean') == np.mean(
+        [0.1, 0.5, 0.3])
+    assert demo.sweep_objective(data, 'score', 'max') == 0.5
+    assert demo.sweep_objective(data, 'score', 'final') == 0.3
+    # metric absent from series -> final stats, then episode_return
+    assert demo.sweep_objective(data, 'reward') == 0.0
+    data.stats = {'episode_return': 1.5}
+    assert demo.sweep_objective(data, 'reward') == 1.5
+
+
+def test_trainer_populates_stats_history():
+    from pufferlib_tpu.models import Default, Policy
+    from pufferlib_tpu.training import ppo
+    vecenv = vector.make(env_creator('squared'), backend=vector.Device,
+        num_envs=64)
+    policy = Policy(Default(
+        obs_shape=vecenv.single_observation_space.shape,
+        action_space=vecenv.single_action_space, hidden_size=32))
+    config = ppo.default_config(env='squared', batch_size=1024,
+        minibatch_size=512, bptt_horizon=8, total_timesteps=2048,
+        verbose=False, data_dir='/tmp/puffer_hist_test')
+    data = ppo.create(config, vecenv, policy)
+    for _ in range(2):
+        ppo.evaluate(data)
+        ppo.train(data)
+    vecenv.close()
+    assert len(data.stats_history) == 2
+    steps = [s for s, _ in data.stats_history]
+    assert steps == [1024, 2048]
+    assert all('score' in s for _, s in data.stats_history)

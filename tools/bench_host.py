@@ -66,7 +66,7 @@ def backend_sps(delay_mean, num_envs=8, num_workers=None, batch_size=None,
     t0 = time.perf_counter()
     for _ in range(steps):
         v.send(atns)
-        obs, *_ = v.recv()[:1],
+        obs = v.recv()[0]
     dt = time.perf_counter() - t0
     v.close()
     return steps * batch / dt
@@ -96,7 +96,7 @@ def backend_sps_sleep(delay_mean, num_envs=8, batch_size=None, steps=200,
     t0 = time.perf_counter()
     for _ in range(steps):
         v.send(atns)
-        obs, *_ = v.recv()[:1],
+        obs = v.recv()[0]
     dt = time.perf_counter() - t0
     v.close()
     return steps * batch / dt
