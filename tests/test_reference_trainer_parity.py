@@ -1,0 +1,76 @@
+"""Head-to-head learning parity vs the ACTUAL reference trainer.
+
+Trains /root/reference/clean_pufferl.py (via the tools/ref_trainer.py
+shims: gym->gymnasium alias, pyximport stub, reference-exact numpy
+c_gae) and the repo trainer on the same envs with the SAME
+hyperparameters and step budgets, then asserts the converged score
+levels agree within seed variance (BASELINE.md: "learning curves within
+seed variance of reference"; reference clean_pufferl.py:30-304).
+
+The full 4-env x 3-seed matrix with curves lives in
+docs/PARITY.md + experiments/head_to_head.json (tools/head_to_head.py);
+this test re-runs a reduced matrix so drift in the repo's learning
+behavior fails CI.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+REF = '/root/reference'
+if not os.path.exists(os.path.join(REF, 'clean_pufferl.py')):
+    pytest.skip('reference tree not present', allow_module_level=True)
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 'tools'))
+
+import head_to_head  # noqa: E402
+
+
+def _band(env, seeds):
+    """Run both sides; return (ref_tails, repo_tails)."""
+    ref_tails = [head_to_head.run_reference(env, s)['tail']
+        for s in seeds]
+    repo_tails = [head_to_head.run_repo(env, s)['tail'] for s in seeds]
+    return np.asarray(ref_tails), np.asarray(repo_tails)
+
+
+def test_squared_learning_matches_reference():
+    """Ocean squared, LSTM, reference ocean hyperparameters (lr 0.017,
+    30k steps): both sides converge to the same score level."""
+    ref, repo = _band('squared', seeds=[1, 2])
+    # both solve the env
+    assert ref.mean() > 0.8, f'reference failed to learn: {ref}'
+    assert repo.mean() > 0.8, f'repo failed to learn: {repo}'
+    # within seed variance: band = 3*std with an absolute floor
+    tol = max(3.0 * ref.std(), 0.08)
+    assert abs(repo.mean() - ref.mean()) <= tol, (ref, repo)
+
+
+def test_stochastic_learning_matches_reference():
+    """Ocean stochastic: optimal play is a 0.7/0.3 mixed strategy;
+    score ~= 1 - (p - freq)^2 must match."""
+    ref, repo = _band('stochastic', seeds=[1])
+    assert ref.mean() > 0.9 and repo.mean() > 0.9, (ref, repo)
+    assert abs(repo.mean() - ref.mean()) <= 0.05, (ref, repo)
+
+
+def test_cartpole_learning_matches_reference():
+    """Real gymnasium CartPole through each side's host path, MLP,
+    identical reduced budget. Returns are high-variance; the contract
+    is that the repo learns at least comparably to the reference."""
+    budget = 65_536
+    hp = head_to_head.HP['cartpole']
+    old = hp['total_timesteps']
+    hp['total_timesteps'] = budget
+    try:
+        ref, repo = _band('cartpole', seeds=[1])
+    finally:
+        hp['total_timesteps'] = old
+    random_play = 25.0  # random CartPole lasts ~20-25 steps
+    assert ref.mean() > 2 * random_play, f'reference did not learn: {ref}'
+    assert repo.mean() > 2 * random_play, f'repo did not learn: {repo}'
+    assert repo.mean() >= 0.6 * ref.mean(), (ref, repo)

@@ -1,0 +1,201 @@
+"""Head-to-head: the ACTUAL reference trainer (clean_pufferl via
+tools/ref_trainer.py) vs pufferlib_tpu's trainer on the same envs,
+same hyperparameters, same step budgets, multiple seeds — the
+BASELINE.md "learning curves within seed variance" proof plus the
+honest same-box SPS table.
+
+Writes JSON results to experiments/head_to_head.json and prints a
+markdown table for docs/PARITY.md.
+
+Usage:
+    python tools/head_to_head.py                  # full matrix, 3 seeds
+    python tools/head_to_head.py --envs squared --seeds 1 2
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import ref_trainer  # noqa: E402
+
+# shared per-env hyperparameters (reference config.yaml ocean /
+# classic_control sections) — BOTH sides train with exactly these
+HP = {
+    'squared': dict(total_timesteps=30_720, learning_rate=0.017,
+        num_envs=8, batch_size=1024, minibatch_size=128, bptt_horizon=4,
+        use_rnn=True),
+    'password': dict(total_timesteps=30_720, learning_rate=0.017,
+        num_envs=8, batch_size=1024, minibatch_size=128, bptt_horizon=4,
+        use_rnn=True),
+    'stochastic': dict(total_timesteps=30_720, learning_rate=0.017,
+        num_envs=8, batch_size=1024, minibatch_size=128, bptt_horizon=4,
+        use_rnn=True),
+    'cartpole': dict(total_timesteps=204_800, learning_rate=2.5e-4,
+        num_envs=64, batch_size=1024, minibatch_size=512,
+        bptt_horizon=16, use_rnn=False),
+}
+#: metric judged per env (ocean emits 'score' in [0,1]; cartpole only
+#: episode stats)
+METRIC = {'squared': 'score', 'password': 'score', 'stochastic': 'score',
+    'cartpole': 'episode_return'}
+
+
+def tail_mean(history, metric, frac=0.2):
+    """Mean of the metric over the last `frac` of the run — the curve's
+    converged level, robust to single-epoch noise."""
+    series = [d[metric] for _, d in history if metric in d]
+    if not series:
+        return float('nan')
+    k = max(1, int(len(series) * frac))
+    return float(np.mean(series[-k:]))
+
+
+def run_reference(env, seed):
+    hp = HP[env]
+    out = ref_trainer.train_reference(env, seed=seed,
+        total_timesteps=hp['total_timesteps'],
+        learning_rate=hp['learning_rate'], num_envs=hp['num_envs'],
+        env_batch_size=hp['num_envs'], batch_size=hp['batch_size'],
+        minibatch_size=hp['minibatch_size'],
+        bptt_horizon=hp['bptt_horizon'])
+    out['tail'] = tail_mean(out['history'], METRIC[env])
+    return out
+
+
+def run_repo(env, seed):
+    """Train pufferlib_tpu with the same hyperparameters. Ocean envs run
+    on the device engine (vector.Device); cartpole runs the REAL
+    gymnasium CartPole through the host bridge + host trainer, exactly
+    like a reference user would."""
+    import jax
+    hp = HP[env]
+    history = []
+    t0 = time.perf_counter()
+
+    if env == 'cartpole':
+        import pufferlib_tpu.vector_host as vector_host
+        from pufferlib_tpu.environments import classic_control as mod
+        from pufferlib_tpu.training import ppo_host as trainer
+        from pufferlib_tpu.models import Default, Policy
+
+        vecenv = vector_host.make(mod.env_creator('cartpole'),
+            backend=vector_host.HostSerial, num_envs=hp['num_envs'])
+        policy = Policy(Default(
+            obs_shape=vecenv.single_observation_space.shape,
+            action_space=vecenv.single_action_space, hidden_size=128))
+        config = trainer.default_config(env=env, seed=seed,
+            exp_id=f'h2h-{env}-{seed}',
+            total_timesteps=hp['total_timesteps'],
+            learning_rate=hp['learning_rate'],
+            batch_size=hp['batch_size'],
+            minibatch_size=hp['minibatch_size'],
+            bptt_horizon=hp['bptt_horizon'], verbose=False,
+            data_dir='/tmp/h2h')
+        data = trainer.create(config, vecenv, policy)
+        while data.global_step < config.total_timesteps:
+            stats, _ = trainer.evaluate(data)
+            trainer.train(data)
+            if stats:
+                history.append((data.global_step, dict(stats)))
+        steps = data.global_step
+        vecenv.close()
+    else:
+        import pufferlib_tpu.vector as vector
+        from pufferlib_tpu.ocean import env_creator
+        from pufferlib_tpu.models import (
+            Default, LSTMWrapper, Policy, RecurrentPolicy)
+        from pufferlib_tpu.training import ppo
+
+        vecenv = vector.make(env_creator(env), backend=vector.Device,
+            num_envs=hp['num_envs'])
+        obs_shape = vecenv.single_observation_space.shape
+        module = Default(obs_shape=obs_shape,
+            action_space=vecenv.single_action_space, hidden_size=128)
+        if hp['use_rnn']:
+            policy = RecurrentPolicy(LSTMWrapper(policy=module,
+                obs_shape=obs_shape, input_size=128, hidden_size=128))
+        else:
+            policy = Policy(module)
+        config = ppo.default_config(env=env, seed=seed,
+            exp_id=f'h2h-{env}-{seed}',
+            total_timesteps=hp['total_timesteps'],
+            learning_rate=hp['learning_rate'],
+            batch_size=hp['batch_size'],
+            minibatch_size=hp['minibatch_size'],
+            bptt_horizon=hp['bptt_horizon'], verbose=False,
+            data_dir='/tmp/h2h')
+        data = ppo.create(config, vecenv, policy)
+        while data.global_step < config.total_timesteps:
+            ppo.evaluate(data)
+            ppo.train(data)
+            if data.stats:
+                history.append((data.global_step, dict(data.stats)))
+        steps = data.global_step
+        vecenv.close()
+
+    elapsed = time.perf_counter() - t0
+    return {
+        'env': env, 'seed': seed, 'history': history,
+        'final': history[-1][1] if history else {},
+        'sps': steps / elapsed, 'global_step': int(steps),
+        'tail': tail_mean(history, METRIC[env]),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--envs', nargs='+', default=list(HP))
+    p.add_argument('--seeds', nargs='+', type=int, default=[1, 2, 3])
+    p.add_argument('--out', default='experiments/head_to_head.json')
+    p.add_argument('--tpu', action='store_true',
+        help='let the repo side use the real TPU (default: CPU, '
+        'apples-to-apples with the torch-CPU reference)')
+    args = p.parse_args()
+
+    if not args.tpu:
+        # same-box fairness: both sides on the host CPU. The axon
+        # plugin ignores JAX_PLATFORMS; override after import.
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+
+    results = {'reference': {}, 'repo': {}}
+    for env in args.envs:
+        for side, runner in (('reference', run_reference),
+                ('repo', run_repo)):
+            runs = []
+            for seed in args.seeds:
+                r = runner(env, seed)
+                runs.append(r)
+                print(f'{side:>9} {env:>10} seed={seed} '
+                    f'tail={r["tail"]:.4f} sps={r["sps"]:.0f}',
+                    flush=True)
+            results[side][env] = runs
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, 'w') as f:
+        json.dump(results, f, indent=1, default=float)
+    print(f'\nwrote {args.out}\n')
+
+    # markdown table for docs/PARITY.md
+    print('| env | metric | reference (mean ± std over seeds) | '
+        'repo (mean ± std) | ref SPS | repo SPS |')
+    print('|---|---|---|---|---|---|')
+    for env in args.envs:
+        m = METRIC[env]
+        ref = [r['tail'] for r in results['reference'][env]]
+        rep = [r['tail'] for r in results['repo'][env]]
+        ref_sps = np.mean([r['sps'] for r in results['reference'][env]])
+        rep_sps = np.mean([r['sps'] for r in results['repo'][env]])
+        print(f'| {env} | {m} | {np.mean(ref):.3f} ± {np.std(ref):.3f} '
+            f'| {np.mean(rep):.3f} ± {np.std(rep):.3f} '
+            f'| {ref_sps:.0f} | {rep_sps:.0f} |')
+
+
+if __name__ == '__main__':
+    main()
