@@ -93,6 +93,40 @@ def run_one(use_rnn, smoke):
     }
 
 
+def run_scaling():
+    """Weak-scaling efficiency on an 8-device virtual CPU mesh — the
+    committed evidence line for the BASELINE multi-host target (>=80%
+    to 4 hosts). Runs tools/bench_scaling.py in a subprocess (the mesh
+    width is fixed at backend init, so it cannot share this process's
+    TPU backend); returns None on any failure so the headline metrics
+    still print."""
+    import subprocess
+    import sys
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(here, 'tools',
+                'bench_scaling.py'), '--devices', '1', '8',
+                '--envs-per-dev', '256', '--horizon', '32',
+                '--epochs', '5'],
+            capture_output=True, text=True, timeout=1200, cwd=here)
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if rec.get('metric') == 'scaling_efficiency_max_mesh':
+                return {
+                    'metric': 'ocean_squared_scaling_eff_8dev',
+                    'value': rec['value'],
+                    'unit': 'x',
+                    'vs_baseline': round(rec['value'] / 0.8, 4),
+                }
+    except Exception:
+        pass
+    return None
+
+
 def main():
     smoke = os.environ.get('BENCH_SMOKE') == '1'
     if smoke:
@@ -107,6 +141,10 @@ def main():
     if os.environ.get('BENCH_RNN') == '1':  # legacy spelling
         only = 'lstm'
     # headline (MLP) metric printed LAST so a last-line parser records it
+    if only is None and not smoke:
+        scaling = run_scaling()
+        if scaling is not None:
+            print(json.dumps(scaling), flush=True)
     if only != 'mlp':
         print(json.dumps(run_one(use_rnn=True, smoke=smoke)), flush=True)
     if only != 'lstm':

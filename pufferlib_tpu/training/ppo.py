@@ -82,6 +82,9 @@ def default_config(**overrides):
         # host trainer only: keep the obs batch in host RAM and ship
         # one minibatch per update (reference clean_pufferl.py:388-391)
         cpu_offload=False,
+        # host trainer only: double-buffer the rollout when the envpool
+        # has >= 2 worker groups (overlap device round trips)
+        pipeline_rollout=True,
         checkpoint_interval=200,
         device='tpu',
         compile=True,

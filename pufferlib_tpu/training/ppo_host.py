@@ -205,60 +205,100 @@ def create(config, vecenv, policy, wandb=None):
     )
 
 
+def _recv_and_dispatch(data, rec):
+    """Forward pass for one recv'd batch: dispatch only, no fetch (jax
+    dispatch is async; only device_get blocks)."""
+    config, experience = data.config, data.experience
+    o, r, d, t, info, env_id, mask = rec[:7]
+    token = rec[7] if len(rec) > 7 else None
+    # LSTM segment-start snapshots are only consumed when some
+    # incoming agent sits at a BPTT boundary — known on the host
+    # BEFORE the forward, so the (layers, agents, hidden) state
+    # fetch can be skipped on all other steps
+    bptt = config.bptt_horizon
+    need_snap = experience.lstm_h is not None and any(
+        experience.agent_step.get(int(a), 0) % bptt == 0
+        for a in env_id)
+    lstm_h_prev, lstm_c_prev = experience.lstm_h, experience.lstm_c
+    data.key, sub = jax.random.split(data.key)
+    actions, logprob, value, experience.lstm_h, experience.lstm_c = \
+        data.forward_fn(data.params, jnp.asarray(o), experience.lstm_h,
+            experience.lstm_c, jnp.asarray(env_id), sub)
+    fetch = (actions, logprob, value)
+    if need_snap:
+        fetch = fetch + (lstm_h_prev, lstm_c_prev)
+    return namespace(o=o, r=r, d=d, info=info, env_id=env_id, mask=mask,
+        token=token, need_snap=need_snap, fetch=fetch)
+
+
+def _finish_batch(data, p, infos, profile):
+    """Fetch a dispatched batch's outputs (ONE device_get), store the
+    transition, and return actions to the pool."""
+    experience = data.experience
+    with profile.eval_forward:
+        # ONE host<->device round trip for everything the host needs
+        # this step (on tunneled TPUs each fetch costs the full link
+        # RTT; separate np.asarray calls here were the dominant
+        # rollout cost)
+        fetched = jax.device_get(p.fetch)
+    actions, logprob, value = fetched[:3]
+    h_prev_np = fetched[3] if p.need_snap else None
+    c_prev_np = fetched[4] if p.need_snap else None
+    with profile.eval_misc:
+        data.global_step += int(np.sum(p.mask))
+        experience.store(np.asarray(p.o), value, actions,
+            logprob, np.asarray(p.r),
+            np.asarray(p.d, np.float32), np.asarray(p.env_id),
+            np.asarray(p.mask),
+            lstm_h_prev=h_prev_np, lstm_c_prev=c_prev_np)
+        for i in p.info:
+            for k, v in unroll_nested_dict(i):
+                infos[k].append(v)
+    with profile.env:
+        if p.token is not None:
+            data.vecenv.send_to(actions, p.token)
+        else:
+            data.vecenv.send(actions)
+
+
 @profile_deco
 def evaluate(data):
     """Async rollout loop: recv -> device forward -> store -> send
-    (reference clean_pufferl.py:76-154)."""
+    (reference clean_pufferl.py:76-154).
+
+    When the envpool exposes >= 2 disjoint worker groups
+    (vecenv.supports_pipeline) the loop runs DOUBLE-BUFFERED: batch
+    B's forward is dispatched before batch A's outputs are fetched, so
+    consecutive device round trips overlap instead of serializing
+    (each fetch costs a full link RTT on tunneled TPUs). Disable with
+    --train.pipeline_rollout False."""
     config, profile, experience = data.config, data.profile, data.experience
     infos = defaultdict(list)
 
-    bptt = config.bptt_horizon
-    while not experience.full:
-        with profile.env:
-            o, r, d, t, info, env_id, mask = data.vecenv.recv()
+    pipelined = (config.get('pipeline_rollout', True)
+        and getattr(data.vecenv, 'supports_pipeline', False))
 
-        with profile.eval_misc:
-            data.global_step += int(np.sum(mask))
-            # LSTM segment-start snapshots are only consumed when some
-            # incoming agent sits at a BPTT boundary — known on the host
-            # BEFORE the forward, so the (layers, agents, hidden) state
-            # fetch can be skipped on all other steps
-            need_snap = experience.lstm_h is not None and any(
-                experience.agent_step.get(int(a), 0) % bptt == 0
-                for a in env_id)
-            lstm_h_prev, lstm_c_prev = (experience.lstm_h,
-                experience.lstm_c)
-
-        with profile.eval_forward:
-            data.key, sub = jax.random.split(data.key)
-            actions, logprob, value, experience.lstm_h, \
-                experience.lstm_c = data.forward_fn(
-                    data.params, jnp.asarray(o), experience.lstm_h,
-                    experience.lstm_c, jnp.asarray(env_id), sub)
-            # ONE host<->device round trip for everything the host
-            # needs this step (on tunneled TPUs each fetch costs the
-            # full link RTT; separate np.asarray calls here were the
-            # dominant rollout cost)
-            fetch = (actions, logprob, value)
-            if need_snap:
-                fetch = fetch + (lstm_h_prev, lstm_c_prev)
-            fetched = jax.device_get(fetch)
-            actions, logprob, value = fetched[:3]
-            h_prev_np = fetched[3] if need_snap else None
-            c_prev_np = fetched[4] if need_snap else None
-
-        with profile.eval_misc:
-            experience.store(np.asarray(o), value, actions,
-                logprob, np.asarray(r),
-                np.asarray(d, np.float32), np.asarray(env_id),
-                np.asarray(mask),
-                lstm_h_prev=h_prev_np, lstm_c_prev=c_prev_np)
-            for i in info:
-                for k, v in unroll_nested_dict(i):
-                    infos[k].append(v)
-
-        with profile.env:
-            data.vecenv.send(actions)
+    if pipelined:
+        pending = None
+        while not experience.full:
+            with profile.env:
+                rec = data.vecenv.recv_async()
+            with profile.eval_misc:
+                nxt = _recv_and_dispatch(data, rec)
+            if pending is not None:
+                _finish_batch(data, pending, infos, profile)
+            pending = nxt
+        if pending is not None:
+            # experience.store truncates at capacity (reference
+            # semantics), so draining the last in-flight batch is safe
+            _finish_batch(data, pending, infos, profile)
+    else:
+        while not experience.full:
+            with profile.env:
+                rec = data.vecenv.recv()
+            with profile.eval_misc:
+                p = _recv_and_dispatch(data, rec)
+            _finish_batch(data, p, infos, profile)
 
     with profile.eval_misc:
         data.stats = {}

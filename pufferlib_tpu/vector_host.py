@@ -388,6 +388,9 @@ class HostMultiprocessing:
         self.initialized = False
         self.flag = RESET
         self.prev_workers = ()
+        # pipelined protocol state: worker groups recv'd but not yet
+        # sent back (recv_async/send_to)
+        self._outstanding = set()
 
         # native driver core (C++ spin + slab gather); Python fallback
         from pufferlib_tpu import native
@@ -420,11 +423,13 @@ class HostMultiprocessing:
                 self.sem[w] = MAIN
         return infos
 
-    def _wait_ready_python(self):
+    def _wait_ready_python(self, candidates=None):
+        if candidates is None:
+            candidates = range(self.num_workers)
         ready = []
         last_alive_check = time.time()
         while len(ready) < self.workers_per_batch:
-            for w in range(self.num_workers):
+            for w in candidates:
                 if w in ready:
                     continue
                 if self.sem[w] in (MAIN, INFO):
@@ -445,29 +450,23 @@ class HostMultiprocessing:
                     'env worker died (creator must be a picklable '
                     'module-level callable under spawn)')
 
-    def recv(self):
-        recv_precheck(self)
+    def _wait(self, candidates):
+        """First workers_per_batch ready workers among `candidates`."""
         if self._lib is not None:
             # C++ spin (GIL released) with a 30 s watchdog
             try:
                 ready = self._native.wait_ready(self._lib, self.sem,
-                    np.arange(self.num_workers, dtype=np.int32),
+                    np.asarray(candidates, dtype=np.int32),
                     self.workers_per_batch, timeout_us=30_000_000,
                     spin_us=self._spin_us)
             except TimeoutError:
                 self._check_alive()
                 raise
-            ready = ready.tolist()
-        else:
-            ready = self._wait_ready_python()
+            return ready.tolist()
+        return self._wait_ready_python(candidates)
 
-        if self.workers_per_batch == self.num_workers:
-            # full-sync mode returns worker order (reference
-            # vector.py:352-361); async modes keep completion order
-            ready = sorted(ready)
-
+    def _gather(self, ready, copy):
         infos = self._drain_infos(ready)
-        self.prev_workers = tuple(ready)
         idx = self.agent_ids[list(ready)].ravel()
 
         if self._lib is not None:
@@ -487,7 +486,7 @@ class HostMultiprocessing:
                 blocks, apw)
             g.gather_rows(self._lib, self.mask_arr, self._mask_batch,
                 blocks, apw)
-            if self.zero_copy:
+            if not copy:
                 return (self._obs_batch, self._rew_batch,
                     self._term_batch, self._trunc_batch, infos, idx,
                     self._mask_batch)
@@ -495,17 +494,76 @@ class HostMultiprocessing:
                 self._term_batch.copy(), self._trunc_batch.copy(),
                 infos, idx, self._mask_batch.copy())
 
-        return (self.obs_arr[idx], self.rew_arr[idx], self.term_arr[idx],
+        out = (self.obs_arr[idx], self.rew_arr[idx], self.term_arr[idx],
             self.trunc_arr[idx], infos, idx, self.mask_arr[idx])
+        return out
+
+    def recv(self):
+        recv_precheck(self)
+        ready = self._wait(np.arange(self.num_workers, dtype=np.int32))
+        if self.workers_per_batch == self.num_workers:
+            # full-sync mode returns worker order (reference
+            # vector.py:352-361); async modes keep completion order
+            ready = sorted(ready)
+        self.prev_workers = tuple(ready)
+        return self._gather(ready, copy=not self.zero_copy)
 
     def send(self, actions):
         send_precheck(self)
+        self._dispatch_actions(actions, self.prev_workers)
+
+    def _dispatch_actions(self, actions, workers):
         actions = np.asarray(actions)
-        idx = self.agent_ids[list(self.prev_workers)].ravel()
+        idx = self.agent_ids[list(workers)].ravel()
         self.atn_arr[idx] = actions.reshape(
             (len(idx),) + self.atn_arr.shape[1:])
-        for w in self.prev_workers:
+        for w in workers:
             self.sem[w] = STEP
+
+    # ---- pipelined protocol (double-buffered rollouts) ---------------
+    # recv_async/send_to relax the strict recv->send alternation: the
+    # driver may hold several recv'd batches "outstanding" and answer
+    # them out of band by token, so a device forward for batch B can be
+    # dispatched BEFORE batch A's results are fetched (the host trainer
+    # overlaps accelerator round-trips this way; reference analog:
+    # the async envpool rationale, vector.py:329-410).
+
+    @property
+    def supports_pipeline(self):
+        """True when >= 2 disjoint worker groups exist, so one can be
+        in flight on the device while another is being recv'd."""
+        return self.num_workers >= 2 * self.workers_per_batch
+
+    def recv_async(self):
+        """Like recv(), but returns (..., token) and leaves the batch
+        outstanding until send_to(actions, token). Always copies (the
+        scratch batch buffers are reused by the next recv)."""
+        if self.flag == RESET:
+            raise APIUsageError('recv_async before async_reset')
+        candidates = [w for w in range(self.num_workers)
+            if w not in self._outstanding]
+        if len(candidates) < self.workers_per_batch:
+            raise APIUsageError(
+                'recv_async: every worker group is already outstanding; '
+                'send_to one first')
+        self.flag = SEND  # keep plain send() usable for the last batch
+        ready = self._wait(np.asarray(candidates, dtype=np.int32))
+        token = tuple(ready)
+        self._outstanding.update(ready)
+        self.prev_workers = token
+        out = self._gather(ready, copy=True)
+        return out + (token,)
+
+    def send_to(self, actions, token):
+        """Answer an outstanding recv_async batch by token."""
+        missing = [w for w in token if w not in self._outstanding]
+        if missing:
+            raise APIUsageError(f'send_to: workers {missing} are not '
+                'outstanding (wrong or reused token)')
+        self._dispatch_actions(actions, token)
+        self._outstanding.difference_update(token)
+        if not self._outstanding:
+            self.flag = RECV
 
     def reset(self, seed=42):
         self.async_reset(seed)
