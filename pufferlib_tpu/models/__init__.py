@@ -146,22 +146,32 @@ class LSTMWrapper(nn.Module):
     use_pallas: object = None
 
     @nn.compact
-    def __call__(self, x, state=None):
+    def __call__(self, x, state=None, time_major=False):
+        """x: (B, *obs) [T=1], (B, T, *obs), or — with time_major=True —
+        (T, B, *obs). Time-major input feeds the scan kernels with ZERO
+        transposes (the per-minibatch (B,T)<->(T,B) copies were a
+        measured chunk of the LSTM update epoch); logits/values then
+        come back flattened in time-major row order, matching
+        time-major-flattened action/advantage tensors."""
         space_n = len(self.obs_shape)
         x_shape = tuple(x.shape)
         if x_shape[-space_n:] != tuple(self.obs_shape):
             raise ValueError(f'Invalid input tensor shape {x_shape}')
         if len(x_shape) == space_n + 1:
             B, T = x_shape[0], 1
+            time_major = False
         elif len(x_shape) == space_n + 2:
-            B, T = x_shape[:2]
+            T, B = x_shape[:2] if time_major else x_shape[:2][::-1]
         else:
             raise ValueError(f'Invalid input tensor shape {x_shape}')
 
         x = x.reshape((B * T,) + tuple(self.obs_shape))
         hidden, lookup = self.policy.encode_observations(x)
         assert hidden.shape == (B * T, self.input_size)
-        hidden = hidden.reshape(B, T, self.input_size)
+        if time_major:
+            hidden = hidden.reshape(T, B, self.input_size)
+        else:
+            hidden = hidden.reshape(B, T, self.input_size)
 
         if state is None:
             h0 = jnp.zeros((self.num_layers, B, self.hidden_size),
@@ -207,23 +217,49 @@ class LSTMWrapper(nn.Module):
                 hs.append(h_fin)
                 cs.append(c_fin)
                 continue
-            # transpose the INPUT to time-major before projecting: the
-            # (B,T,in) move is 4x smaller than transposing the (B,T,4H)
-            # projection output would be
-            xp_t = (jnp.swapaxes(layer_in, 0, 1).astype(cdt)
-                @ w_ih.astype(cdt)) + b.astype(cdt)  # (T, B, 4H)
+            # the scan kernels consume (T, B, ...): with time_major
+            # input no transpose is needed at all
+            def to_tm(v):
+                return v if time_major else jnp.swapaxes(v, 0, 1)
+
             if use_pallas:
                 import os
-                if os.environ.get('PUFFER_LSTM_KERNEL') == 'tm':
+                # 'xp' (projection outside, default), 'fused'
+                # (projection inside the kernel — smaller streams,
+                # larger tiles, but ~100s extra Mosaic lowering), or
+                # 'tm' (experimental time-major grid)
+                kernel_kind = os.environ.get('PUFFER_LSTM_KERNEL', 'xp')
+                if kernel_kind == 'fused':
+                    # input projection fused INTO the kernel: the
+                    # (T, B, 4H) x_proj never exists in HBM — at
+                    # production shapes it was the LSTM update's
+                    # largest memory stream (docs/PERF.md)
+                    from pufferlib_tpu.ops.pallas.lstm import (
+                        lstm_scan_fused)
+                    outs, h_fin, c_fin = lstm_scan_fused(
+                        to_tm(layer_in).astype(cdt), h0[layer],
+                        c0[layer], w_ih, w_hh, b, cdt)
+                    layer_in = to_tm(outs)
+                    hs.append(h_fin)
+                    cs.append(c_fin)
+                    continue
+                elif kernel_kind == 'tm':
                     # experimental time-major-grid kernel (one big
                     # matmul per timestep; ops/pallas/lstm_tm.py)
                     from pufferlib_tpu.ops.pallas.lstm_tm import (
                         lstm_scan_tm as lstm_scan)
                 else:
                     from pufferlib_tpu.ops.pallas.lstm import lstm_scan
+                # project the time-major INPUT (the (B,T,in) move, when
+                # needed at all, is 4x smaller than transposing the
+                # (B,T,4H) projection output would be)
+                xp_t = (to_tm(layer_in).astype(cdt)
+                    @ w_ih.astype(cdt)) + b.astype(cdt)  # (T, B, 4H)
                 outs, h_fin, c_fin = lstm_scan(
                     xp_t, h0[layer], c0[layer], w_hh, cdt)
             else:
+                xp_t = (to_tm(layer_in).astype(cdt)
+                    @ w_ih.astype(cdt)) + b.astype(cdt)  # (T, B, 4H)
                 def cell(carry, xt):
                     h, c = carry
                     gates = (xt.astype(jnp.float32)
@@ -239,7 +275,7 @@ class LSTMWrapper(nn.Module):
 
                 (h_fin, c_fin), outs = jax.lax.scan(
                     cell, (h0[layer], c0[layer]), xp_t)  # scan over T
-            layer_in = jnp.swapaxes(outs, 0, 1)  # (B, T, H)
+            layer_in = to_tm(outs)  # back to the input's layout
             hs.append(h_fin)
             cs.append(c_fin)
 

@@ -63,10 +63,13 @@ class RecurrentPolicy:
         return value
 
     def get_action_and_value(self, params, x, state=None, action=None,
-            key=None):
-        logits, value, state = self.module.apply(params, x, state)
+            key=None, time_major=False):
+        logits, value, state = self.module.apply(params, x, state,
+            time_major=time_major)
         action, logprob, entropy = sample_logits(logits, action, key)
         return action, logprob, entropy, value, state
 
-    def __call__(self, params, x, state=None, action=None, key=None):
-        return self.get_action_and_value(params, x, state, action, key)
+    def __call__(self, params, x, state=None, action=None, key=None,
+            time_major=False):
+        return self.get_action_and_value(params, x, state, action, key,
+            time_major=time_major)

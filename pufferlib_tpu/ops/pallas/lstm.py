@@ -134,10 +134,22 @@ def _tile(B, prefer=128):
     # the batch tile bounds VMEM residency: (T, bt, 4H) x_proj blocks
     # dominate. 128 fits the forward; the backward carries ~2x the
     # blocks (incoming grads + dx_proj) so it tiles at 64.
-    for bt in (prefer, 64, 32, 16, 8):
+    for bt in (prefer, 128, 64, 32, 16, 8):
         if bt <= prefer and B % bt == 0:
             return bt
     return None
+
+
+def _tile_env(B, var, prefer):
+    """Batch tile with an experimental env-var override
+    (PUFFER_LSTM_TILE_FWD / _BWD) for perf exploration; larger tiles
+    reduce the sequential small-matmul count but must stay inside the
+    16 MB scoped VMEM."""
+    import os
+    override = os.environ.get(var)
+    if override:
+        prefer = int(override)
+    return _tile(B, prefer)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -148,7 +160,7 @@ def lstm_scan(x_proj, h0, c0, w_hh, cdt=jnp.bfloat16):
 def _lstm_fwd_impl(x_proj, h0, c0, w_hh, cdt, with_cseq=True):
     T, B, H4 = x_proj.shape
     H = H4 // 4
-    bt = _tile(B)
+    bt = _tile_env(B, 'PUFFER_LSTM_TILE_FWD', 128)
     assert bt is not None, f'batch {B} not tileable'
     grid = (B // bt,)
     vm = pltpu.VMEM
@@ -203,7 +215,8 @@ def _lstm_scan_bwd(cdt, residuals, grads):
     H = H4 // 4
     # dx_proj streams out in the x_proj dtype (bf16 in mixed precision)
     # which halves the block and lets the backward tile at 128 too
-    bt = _tile(B, prefer=128 if x_proj.dtype == jnp.bfloat16 else 64)
+    bt = _tile_env(B, 'PUFFER_LSTM_TILE_BWD',
+        128 if x_proj.dtype == jnp.bfloat16 else 64)
     grid = (B // bt,)
     kernel = functools.partial(_bwd_kernel, T=T, cdt=cdt)
     vm = pltpu.VMEM
@@ -238,6 +251,241 @@ def _lstm_scan_bwd(cdt, residuals, grads):
 
 
 lstm_scan.defvjp(_lstm_scan_fwd, _lstm_scan_bwd)
+
+
+# ---------------------------------------------------------------------
+# Fused-projection variant: the input projection x @ W_ih + b runs
+# INSIDE the kernel per timestep, so the (T, B, 4H) x_proj tensor never
+# exists in HBM. At bench shapes (T=16, B=8192, H=128, bf16) x_proj
+# costs ~134 MB per minibatch streamed ~5x per update (fwd write, fwd
+# read, bwd read, dx_proj write + read) — the single largest HBM stream
+# of the LSTM update phase (docs/PERF.md op profile). The fused kernel
+# streams only the 4x-smaller (T, B, D) input.
+
+
+def _fwd_fused_kernel(x_ref, h0_ref, c0_ref, wih_ref, whh_ref, b_ref,
+        outs_ref, ht_ref, ct_ref, cseq_ref, *, T, cdt):
+    w_ih = wih_ref[:].astype(cdt)
+    w_hh = whh_ref[:].astype(cdt)
+    bias = b_ref[:].astype(jnp.float32)  # (1, 4H)
+
+    def body(t, carry):
+        h, c = carry
+        xp = jnp.dot(x_ref[t].astype(cdt), w_ih,
+            preferred_element_type=jnp.float32) + bias
+        i, f, g, o = _gates(xp, h, w_hh, cdt)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        outs_ref[t] = h.astype(outs_ref.dtype)
+        cseq_ref[t] = c.astype(cseq_ref.dtype)
+        return (h, c)
+
+    h, c = jax.lax.fori_loop(0, T, body, (h0_ref[:], c0_ref[:]))
+    ht_ref[:] = h
+    ct_ref[:] = c
+
+
+def _fwd_fused_kernel_noresid(x_ref, h0_ref, c0_ref, wih_ref, whh_ref,
+        b_ref, outs_ref, ht_ref, ct_ref, *, T, cdt):
+    w_ih = wih_ref[:].astype(cdt)
+    w_hh = whh_ref[:].astype(cdt)
+    bias = b_ref[:].astype(jnp.float32)
+
+    def body(t, carry):
+        h, c = carry
+        xp = jnp.dot(x_ref[t].astype(cdt), w_ih,
+            preferred_element_type=jnp.float32) + bias
+        i, f, g, o = _gates(xp, h, w_hh, cdt)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        outs_ref[t] = h.astype(outs_ref.dtype)
+        return (h, c)
+
+    h, c = jax.lax.fori_loop(0, T, body, (h0_ref[:], c0_ref[:]))
+    ht_ref[:] = h
+    ct_ref[:] = c
+
+
+def _bwd_fused_kernel(x_ref, h0_ref, c0_ref, wih_ref, whh_ref, b_ref,
+        outs_ref, cseq_ref, g_outs_ref, g_ht_ref, g_ct_ref,
+        dx_ref, dh0_ref, dc0_ref, dwih_ref, dwhh_ref, db_ref, *, T, cdt):
+    w_ih = wih_ref[:].astype(cdt)
+    w_hh = whh_ref[:].astype(cdt)
+    bias = b_ref[:].astype(jnp.float32)
+    b_idx = pl.program_id(0)
+
+    @pl.when(b_idx == 0)
+    def _():
+        dwih_ref[:] = jnp.zeros_like(dwih_ref)
+        dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    def body(k, carry):
+        t = T - 1 - k
+        dh, dc, dwih, dwhh, db = carry
+        h_prev = jnp.where(t == 0, h0_ref[:], outs_ref[pl.ds(
+            jnp.maximum(t - 1, 0), 1)][0].astype(jnp.float32))
+        c_prev = jnp.where(t == 0, c0_ref[:], cseq_ref[pl.ds(
+            jnp.maximum(t - 1, 0), 1)][0].astype(jnp.float32))
+        c_t = cseq_ref[t].astype(jnp.float32)
+
+        x_t = x_ref[t].astype(cdt)
+        xp = jnp.dot(x_t, w_ih,
+            preferred_element_type=jnp.float32) + bias
+        i, f, g, o = _gates(xp, h_prev, w_hh, cdt)
+
+        dh = dh + g_outs_ref[t].astype(jnp.float32)
+        tc = jnp.tanh(c_t)
+        do = dh * tc
+        dc = dc + dh * o * (1.0 - tc * tc)
+        di, dg = dc * g, dc * i
+        df = dc * c_prev
+        d_i = di * i * (1.0 - i)
+        d_f = df * f * (1.0 - f)
+        d_g = dg * (1.0 - g * g)
+        d_o = do * o * (1.0 - o)
+        dgates = jnp.concatenate([d_i, d_f, d_g, d_o], axis=-1)
+        dgates_c = dgates.astype(cdt)
+
+        dx_ref[t] = jnp.dot(dgates_c, w_ih.T,
+            preferred_element_type=jnp.float32).astype(dx_ref.dtype)
+        dwih = dwih + jnp.dot(x_t.T, dgates_c,
+            preferred_element_type=jnp.float32)
+        db = db + jnp.sum(dgates, axis=0, keepdims=True)
+        dh_prev = jnp.dot(dgates_c, w_hh.T,
+            preferred_element_type=jnp.float32)
+        dwhh = dwhh + jnp.dot(h_prev.astype(cdt).T, dgates_c,
+            preferred_element_type=jnp.float32)
+        dc_prev = dc * f
+        return (dh_prev, dc_prev, dwih, dwhh, db)
+
+    dwih0 = jnp.zeros_like(dwih_ref)
+    dwhh0 = jnp.zeros_like(dwhh_ref)
+    db0 = jnp.zeros_like(db_ref)
+    dh, dc, dwih, dwhh, db = jax.lax.fori_loop(
+        0, T, body, (g_ht_ref[:], g_ct_ref[:], dwih0, dwhh0, db0))
+    dh0_ref[:] = dh
+    dc0_ref[:] = dc
+    dwih_ref[:] += dwih
+    dwhh_ref[:] += dwhh
+    db_ref[:] += db
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def lstm_scan_fused(x, h0, c0, w_ih, w_hh, b, cdt=jnp.bfloat16):
+    """x: (T, B, D) time-major inputs; b: (4H,). Returns (outs, hT, cT)
+    with outs (T, B, H)."""
+    return _lstm_fused_impl(x, h0, c0, w_ih, w_hh, b, cdt,
+        with_cseq=False)[:3]
+
+
+def _lstm_fused_impl(x, h0, c0, w_ih, w_hh, b, cdt, with_cseq=True):
+    T, B, D = x.shape
+    H = h0.shape[-1]
+    bt = _tile_env(B, 'PUFFER_LSTM_TILE_FWD', 128)
+    assert bt is not None, f'batch {B} not tileable'
+    grid = (B // bt,)
+    vm = pltpu.VMEM
+    rdt = jnp.bfloat16 if cdt == jnp.bfloat16 else jnp.float32
+    b2 = b.reshape(1, 4 * H)
+    seq_spec = pl.BlockSpec((T, bt, H), lambda i: (0, i, 0),
+        memory_space=vm)
+    state_spec = pl.BlockSpec((bt, H), lambda i: (i, 0), memory_space=vm)
+    in_specs = [
+        pl.BlockSpec((T, bt, D), lambda i: (0, i, 0), memory_space=vm),
+        state_spec,
+        state_spec,
+        pl.BlockSpec((D, 4 * H), lambda i: (0, 0), memory_space=vm),
+        pl.BlockSpec((H, 4 * H), lambda i: (0, 0), memory_space=vm),
+        pl.BlockSpec((1, 4 * H), lambda i: (0, 0), memory_space=vm),
+    ]
+    out_specs = [seq_spec, state_spec, state_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((T, B, H), rdt),
+        jax.ShapeDtypeStruct((B, H), jnp.float32),
+        jax.ShapeDtypeStruct((B, H), jnp.float32),
+    ]
+    if with_cseq:
+        kernel = functools.partial(_fwd_fused_kernel, T=T, cdt=cdt)
+        out_specs = out_specs + [seq_spec]
+        out_shape = out_shape + [jax.ShapeDtypeStruct((T, B, H), rdt)]
+    else:
+        kernel = functools.partial(_fwd_fused_kernel_noresid, T=T,
+            cdt=cdt)
+    res = pl.pallas_call(
+        kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape,
+    )(x, h0, c0, w_ih, w_hh, b2)
+    if with_cseq:
+        return res
+    return tuple(res) + (None,)
+
+
+def _lstm_fused_fwd(x, h0, c0, w_ih, w_hh, b, cdt):
+    outs, hT, cT, cseq = _lstm_fused_impl(x, h0, c0, w_ih, w_hh, b,
+        cdt, with_cseq=True)
+    return (outs, hT, cT), (x, h0, c0, w_ih, w_hh, b, outs, cseq)
+
+
+def _lstm_fused_bwd(cdt, residuals, grads):
+    x, h0, c0, w_ih, w_hh, b, outs, cseq = residuals
+    g_outs, g_hT, g_cT = grads
+    T, B, D = x.shape
+    H = h0.shape[-1]
+    bt = _tile_env(B, 'PUFFER_LSTM_TILE_BWD',
+        128 if x.dtype == jnp.bfloat16 else 64)
+    grid = (B // bt,)
+    kernel = functools.partial(_bwd_fused_kernel, T=T, cdt=cdt)
+    vm = pltpu.VMEM
+    b2 = b.reshape(1, 4 * H)
+    seq_h = pl.BlockSpec((T, bt, H), lambda i: (0, i, 0),
+        memory_space=vm)
+    state_spec = pl.BlockSpec((bt, H), lambda i: (i, 0), memory_space=vm)
+    dx, dh0, dc0, dwih, dwhh, db = pl.pallas_call(
+        kernel, grid=grid,
+        in_specs=[
+            pl.BlockSpec((T, bt, D), lambda i: (0, i, 0),
+                memory_space=vm),
+            state_spec,
+            state_spec,
+            pl.BlockSpec((D, 4 * H), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((H, 4 * H), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((1, 4 * H), lambda i: (0, 0), memory_space=vm),
+            seq_h, seq_h, seq_h,
+            state_spec, state_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((T, bt, D), lambda i: (0, i, 0),
+                memory_space=vm),
+            state_spec,
+            state_spec,
+            pl.BlockSpec((D, 4 * H), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((H, 4 * H), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((1, 4 * H), lambda i: (0, 0), memory_space=vm),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, D), x.dtype),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((D, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((H, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((1, 4 * H), jnp.float32),
+        ],
+    )(x, h0, c0, w_ih, w_hh, b2, outs, cseq, g_outs, g_hT, g_cT)
+    return (dx, dh0, dc0, dwih.astype(w_ih.dtype),
+        dwhh.astype(w_hh.dtype), db.reshape(4 * H).astype(b.dtype))
+
+
+lstm_scan_fused.defvjp(_lstm_fused_fwd, _lstm_fused_bwd)
+
+
+def lstm_scan_fused_reference(x, h0, c0, w_ih, w_hh, b,
+        cdt=jnp.float32):
+    """Pure-JAX reference for the fused-projection scan."""
+    xp = (jnp.dot(x.astype(cdt), w_ih.astype(cdt),
+        preferred_element_type=jnp.float32)
+        + b.astype(jnp.float32))
+    return lstm_scan_reference(xp, h0, c0, w_hh, cdt)
 
 
 def lstm_scan_reference(x_proj, h0, c0, w_hh, cdt=jnp.float32):

@@ -79,6 +79,12 @@ def default_config(**overrides):
         # mesh path / reference composition exactly (learning verified
         # equivalent on the ocean suite either way)
         mlp_contiguous_minibatches=True,
+        # recurrent: when num_minibatches == T//bptt_horizon, partition
+        # the time-major batch into time-slab minibatches by free
+        # reshape and run the whole update transpose-free (LSTMWrapper
+        # time_major). Same composition caveat as above; set False to
+        # reproduce the reference's agent-major minibatch grouping.
+        lstm_time_slab_minibatches=True,
         # host trainer only: keep the obs batch in host RAM and ship
         # one minibatch per update (reference clean_pufferl.py:388-391)
         cpu_offload=False,
@@ -409,10 +415,13 @@ def make_rollout_fn(policy, step_batch, config, T, mask_fn=None):
     return rollout
 
 
-def make_minibatch_update(policy, tx, config, seg_rows, obs_shape=None):
+def make_minibatch_update(policy, tx, config, seg_rows, obs_shape=None,
+        time_major=False):
     """One PPO minibatch update: (params, opt_state, mb, lr) ->
-    (params, opt_state, stats). mb is a dict of (rows, h, ...) arrays;
-    obs rows may be stored flat (device batch) or native-shaped (host
+    (params, opt_state, stats). mb is a dict of (rows, h, ...) arrays —
+    or, with time_major=True (the recurrent time-slab layout), of
+    (h, rows, ...) arrays with lstm state (layers, rows, H); obs rows
+    may be stored flat (device batch) or native-shaped (host
     Experience) — both reshape to the policy's obs_shape here. Shared
     by the fused epoch runner and the cpu_offload host path (which jits
     this alone and streams minibatches from host RAM)."""
@@ -425,10 +434,17 @@ def make_minibatch_update(policy, tx, config, seg_rows, obs_shape=None):
         def loss_fn(p):
             shape = tuple(obs_shape) if obs_shape is not None \
                 else tuple(mb['obs'].shape[2:])
-            obs = mb['obs'].reshape((seg_rows, h) + shape)
+            lead = (h, seg_rows) if time_major else (seg_rows, h)
+            obs = mb['obs'].reshape(lead + shape)
             action = mb['action'].reshape(
                 (seg_rows * h,) + mb['action'].shape[2:])
-            if recurrent:
+            if recurrent and time_major:
+                # state already (layers, rows, H); every tensor in the
+                # loss flattens in time-major row order consistently
+                state = (mb['lstm_h'], mb['lstm_c'])
+                _, newlogprob, entropy, newvalue, _ = policy(
+                    p, obs, state, action=action, time_major=True)
+            elif recurrent:
                 state = (jnp.moveaxis(mb['lstm_h'], 0, 1),
                     jnp.moveaxis(mb['lstm_c'], 0, 1))
                 _, newlogprob, entropy, newvalue, _ = policy(
@@ -468,16 +484,22 @@ def make_minibatch_update(policy, tx, config, seg_rows, obs_shape=None):
 
 
 def make_epoch_runner(policy, tx, config, seg_rows, num_minibatches, S,
-        obs_shape=None):
+        obs_shape=None, time_major=False, prestacked=False):
     """The PPO epoch x minibatch scan over pre-segmented data.
 
     seg_batch: dict of (S, h, ...) arrays (obs/action/logprob/value/
-    advantages/returns [+ lstm_h/lstm_c (S, layers, H)]). Shared by the
-    fused on-device trainer and the host-env trainer (ppo_host)."""
+    advantages/returns [+ lstm_h/lstm_c (S, layers, H)]) — or, with
+    prestacked=True, already (num_minibatches, ...) per-minibatch
+    leading (the recurrent time-slab layout). Shared by the fused
+    on-device trainer and the host-env trainer (ppo_host)."""
     has_target_kl = config.target_kl is not None
     target_kl = config.target_kl or 0.0
     mb_update = make_minibatch_update(policy, tx, config, seg_rows,
-        obs_shape=obs_shape)
+        obs_shape=obs_shape, time_major=time_major)
+    if prestacked and config.shuffle_minibatches:
+        raise APIUsageError(
+            'shuffle_minibatches requires the segment-major layout '
+            '(set lstm_time_slab_minibatches=False)')
 
     def run_epochs(params, opt_state, seg_batch, key, lr):
         def minibatch_step(carry, mb):
@@ -492,9 +514,12 @@ def make_epoch_runner(policy, tx, config, seg_rows, num_minibatches, S,
 
         # pre-stack the deterministic minibatch partition once: scan
         # consumes slices directly (no gathers on the hot path)
-        stacked = jax.tree.map(
-            lambda x: x.reshape(
-                (num_minibatches, seg_rows) + x.shape[1:]), seg_batch)
+        if prestacked:
+            stacked = seg_batch
+        else:
+            stacked = jax.tree.map(
+                lambda x: x.reshape(
+                    (num_minibatches, seg_rows) + x.shape[1:]), seg_batch)
 
         def epoch_step(carry, ep_key):
             params, opt_state, stop = carry
@@ -528,9 +553,23 @@ def make_update_fn(policy, tx, config, T, total_agents, num_minibatches,
     h = config.bptt_horizon
     n_seg = T // h
     S = total_agents * n_seg
+
+    # Recurrent time-slab minibatches: when each minibatch is exactly
+    # one BPTT time-slab over all agents (num_minibatches == T//h),
+    # the time-major rollout batch partitions into minibatches by FREE
+    # reshape — no segment permutation, and (with LSTMWrapper
+    # time_major) no (B,T)<->(T,B) transposes anywhere in the update.
+    # Composition differs from the reference's agent-major grouping
+    # (same class of change as mlp_contiguous_minibatches; flag off to
+    # reproduce the reference composition).
+    time_slab = (recurrent and num_minibatches == n_seg
+        and not config.shuffle_minibatches
+        and config.get('lstm_time_slab_minibatches', True))
+
     run_epochs = make_epoch_runner(
         policy, tx, config, seg_rows, num_minibatches, S,
-        obs_shape=obs_shape)
+        obs_shape=obs_shape, time_major=time_slab,
+        prestacked=time_slab)
 
     contiguous_ok = (not recurrent and mesh is None
         and config.get('mlp_contiguous_minibatches', True))
@@ -581,22 +620,32 @@ def make_update_fn(policy, tx, config, T, total_agents, num_minibatches,
             in_specs=(tn, tn, tn, P('env')), out_specs=tn,
             check_rep=False)(reward, value, done, last_value)
 
+    def slab(x):
+        # (T, N, ...) -> (n_seg, h, N, ...): a free reshape; minibatch
+        # c is the c-th time-slab, already time-major for the kernel
+        return x.reshape((n_seg, h) + x.shape[1:])
+
     def update(params, opt_state, batch, key, lr):
         advantages = gae_fn(batch['reward'], batch['value'],
             batch['done'], batch['last_value'])
         returns = advantages + batch['value']
 
+        seg = slab if time_slab else segment
         seg_batch = dict(
-            obs=segment(batch['obs']),
-            action=segment(batch['action']),
-            logprob=segment(batch['logprob']),
-            value=segment(batch['value']),
-            advantages=segment(advantages),
-            returns=segment(returns),
+            obs=seg(batch['obs']),
+            action=seg(batch['action']),
+            logprob=seg(batch['logprob']),
+            value=seg(batch['value']),
+            advantages=seg(advantages),
+            returns=seg(returns),
         )
         if 'mask' in batch:
-            seg_batch['mask'] = segment(batch['mask'])
-        if recurrent:
+            seg_batch['mask'] = seg(batch['mask'])
+        if recurrent and time_slab:
+            # already (n_seg, layers, N, H): minibatch-leading as-is
+            seg_batch['lstm_h'] = batch['lstm0'][0]
+            seg_batch['lstm_c'] = batch['lstm0'][1]
+        elif recurrent:
             seg_batch['lstm_h'] = segment_lstm(batch['lstm0'][0])
             seg_batch['lstm_c'] = segment_lstm(batch['lstm0'][1])
 

@@ -251,3 +251,77 @@ def test_rollout_batch_stores_flat_obs():
     T = 512 // 16
     assert batch['obs'].shape == (T, 16, int(np.prod(obs_shape)))
     vecenv.close()
+
+
+def test_lstm_time_major_matches_batch_major():
+    """LSTMWrapper(time_major=True) on (T, B, obs) input produces the
+    transpose-permutation of the batch-major outputs and identical
+    final states (the transpose-free update path relies on this)."""
+    import jax.numpy as jnp
+    from pufferlib_tpu import spaces
+    from pufferlib_tpu.models import Default, LSTMWrapper
+
+    obs_shape = (5,)
+    B, T = 6, 4
+    module = LSTMWrapper(
+        policy=Default(obs_shape=obs_shape,
+            action_space=spaces.Discrete(3), hidden_size=16),
+        obs_shape=obs_shape, input_size=16, hidden_size=16,
+        use_pallas=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T) + obs_shape)
+    params = module.init(jax.random.PRNGKey(1), x)
+    lo_b, v_b, (h_b, c_b) = module.apply(params, x)
+    lo_t, v_t, (h_t, c_t) = module.apply(
+        params, jnp.swapaxes(x, 0, 1), time_major=True)
+    A = lo_b.shape[-1]
+    assert np.allclose(np.asarray(lo_t).reshape(T, B, A).swapaxes(0, 1),
+        np.asarray(lo_b).reshape(B, T, A), atol=1e-5)
+    assert np.allclose(np.asarray(v_t).reshape(T, B).swapaxes(0, 1),
+        np.asarray(v_b).reshape(B, T), atol=1e-5)
+    assert np.allclose(np.asarray(h_t), np.asarray(h_b), atol=1e-5)
+    assert np.allclose(np.asarray(c_t), np.asarray(c_b), atol=1e-5)
+
+
+def make_lstm_data(num_envs=16, batch_size=512, minibatch_size=128,
+        bptt=8, **cfg):
+    """Recurrent trainer with minibatch geometry hitting the time-slab
+    path (num_minibatches == T // bptt)."""
+    from pufferlib_tpu.models import LSTMWrapper, RecurrentPolicy
+    creator = env_creator('memory')
+    vecenv = vector.make(creator, backend=vector.Device,
+        num_envs=num_envs)
+    obs_shape = vecenv.single_observation_space.shape
+    module = Default(obs_shape=obs_shape,
+        action_space=vecenv.single_action_space, hidden_size=32)
+    policy = RecurrentPolicy(LSTMWrapper(policy=module,
+        obs_shape=obs_shape, input_size=32, hidden_size=32))
+    config = ppo.default_config(env='memory', batch_size=batch_size,
+        minibatch_size=minibatch_size, bptt_horizon=bptt,
+        total_timesteps=10 ** 9, verbose=False,
+        data_dir='/tmp/puffer_slab_test', **cfg)
+    return ppo.create(config, vecenv, policy)
+
+
+def test_lstm_time_slab_minibatches_train():
+    """Time-slab geometry (T=32, h=8, M=4): fused step trains with the
+    transpose-free path; the flag-off path also trains; both produce
+    finite losses and identical minibatch COUNT semantics."""
+    d_slab = make_lstm_data(seed=7, exp_id='slab')
+    ppo.step(d_slab)
+    assert np.isfinite(d_slab.losses.policy_loss)
+
+    d_ref = make_lstm_data(seed=7, exp_id='noslab',
+        lstm_time_slab_minibatches=False)
+    ppo.step(d_ref)
+    assert np.isfinite(d_ref.losses.policy_loss)
+    # same data budget consumed either way
+    assert d_slab.global_step == d_ref.global_step
+
+
+def test_lstm_slab_inactive_when_geometry_mismatch():
+    """num_minibatches != T//h falls back to the segment-major path
+    and still trains."""
+    # T = 512/16 = 32, h=8 -> n_seg=4, but M = 512/256 = 2 != 4
+    data = make_lstm_data(minibatch_size=256, seed=9, exp_id='mismatch')
+    ppo.step(data)
+    assert np.isfinite(data.losses.policy_loss)
