@@ -112,7 +112,7 @@ def _sleep_puffer_env(delay_mean=0.001):
 
 
 def trainer_sps(backend='serial', num_envs=8, batch_size=512,
-        delay_mean=0.001, epochs=3):
+        delay_mean=0.001, epochs=3, pipeline=True):
     """End-to-end host-bridge trainer SPS on the REAL device: rollout
     (recv -> jit forward -> single merged device_get -> send) + PPO
     update, over sleep-delay envs."""
@@ -136,6 +136,7 @@ def trainer_sps(backend='serial', num_envs=8, batch_size=512,
     config = ppo_host.default_config(env='bench_host',
         batch_size=batch_size, minibatch_size=batch_size // 2,
         bptt_horizon=8, total_timesteps=batch_size * (epochs + 1),
+        pipeline_rollout=pipeline,
         verbose=False, data_dir='/tmp/bench_host',
         checkpoint_interval=10 ** 6)
     data = ppo_host.create(config, vecenv, policy)
@@ -208,11 +209,15 @@ def main():
             'speedup': round(pool / max(ser, 1e-9), 2)}))
 
     if args.trainer:
-        for backend in ('serial', 'multiprocessing'):
+        runs = [('serial', True), ('multiprocessing', False),
+            ('multiprocessing', True)]
+        for backend, pipeline in runs:
             sps, rollout_ms = trainer_sps(backend=backend,
-                num_envs=args.num_envs)
+                num_envs=args.num_envs, pipeline=pipeline)
+            tag = backend if backend == 'serial' else (
+                'envpool_pipelined' if pipeline else 'envpool_strict')
             print(json.dumps({
-                'metric': f'ppo_host_{backend}_sps',
+                'metric': f'ppo_host_{tag}_sps',
                 'value': round(sps, 1), 'unit': 'steps/s',
                 'rollout_ms_per_step': round(rollout_ms, 2)}))
 
