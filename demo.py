@@ -391,6 +391,9 @@ def sweep(args, env_module, creator):
         for k, v in params.items():
             args.train[k] = v
         args.train['verbose'] = False
+        # fused step() only materializes metrics when a sink wants
+        # them; the sweep objective needs the run's stats series
+        args.train['track_history'] = True
         args.exp_id = None
         try:
             data = train(args, env_module, creator)

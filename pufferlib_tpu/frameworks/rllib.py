@@ -136,7 +136,7 @@ def make_policy(policy_cls, lstm_layers=0):
     class PufferRLlibModel(_PufferAdapter):
         def forward(self, input_dict, state, seq_lens):
             obs = input_dict['obs']
-            if not obs.is_floating_point():
+            if obs.dtype != torch.float32:
                 obs = obs.to(torch.float32)
             hidden = self.net.encode_observations(obs)
             self._value_out = self.net.critic(hidden)

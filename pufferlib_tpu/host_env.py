@@ -198,6 +198,15 @@ def _make_gymnasium_adapter_cls():
     return GymnasiumAdapterImpl
 
 
+def __getattr__(name):
+    # PEP 562: an UNPICKLING process imports this module fresh and asks
+    # for GymnasiumAdapterImpl before the factory ever ran there (SB3
+    # SubprocVecEnv under spawn); build the class on demand
+    if name == 'GymnasiumAdapterImpl':
+        return _make_gymnasium_adapter_cls()
+    raise AttributeError(name)
+
+
 class _GymnasiumAdapterMeta(type):
     def __instancecheck__(cls, obj):
         return (_gymnasium_adapter_cls is not None

@@ -29,8 +29,8 @@ def init_distributed(coordinator_address=None, num_processes=None,
     # NOTE: do not touch jax.process_count()/jax.devices() here — any
     # backend query initializes the runtime and initialize() must run
     # before that
-    state = getattr(jax.distributed, 'global_state', None)
-    if state is not None and getattr(state, 'client', None) is not None:
+    is_init = getattr(jax.distributed, 'is_initialized', None)
+    if is_init is not None and is_init():
         return  # already initialized
     try:
         jax.distributed.initialize(

@@ -10,23 +10,6 @@ module or a test fake).
 import numpy as np
 
 
-def hsv_to_rgb(hsv):
-    """Vectorized HSV->RGB on (..., 3) float arrays in [0, 1] (so the
-    renderer does not require matplotlib)."""
-    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
-    i = np.floor(h * 6.0).astype(np.int32) % 6
-    f = h * 6.0 - np.floor(h * 6.0)
-    p = v * (1.0 - s)
-    q = v * (1.0 - s * f)
-    t = v * (1.0 - s * (1.0 - f))
-    choices = np.stack([
-        np.stack([v, t, p], -1), np.stack([q, v, p], -1),
-        np.stack([p, v, t], -1), np.stack([p, q, v], -1),
-        np.stack([t, p, v], -1), np.stack([v, p, q], -1)], 0)
-    return np.take_along_axis(
-        choices, i[None, ..., None].repeat(3, -1), axis=0)[0]
-
-
 #: cell-edge upscale factor from the counts grid to map pixels
 _CELL = 16
 #: visit counts saturate the heat scale here (hue hits pure red)

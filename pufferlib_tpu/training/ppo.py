@@ -95,6 +95,9 @@ def default_config(**overrides):
         device='tpu',
         compile=True,
         verbose=True,
+        # materialize device metrics at the profile interval even with
+        # no dashboard/verbose/wandb sink (sweeps read stats_history)
+        track_history=False,
     )
     for k, v in overrides.items():
         cfg[k] = v
@@ -787,8 +790,10 @@ def step(data):
     data.last_lr = lr
 
     done_training = data.global_step >= config.total_timesteps
+    # track_history: sweeps optimize the run's metric series, so
+    # materialize at the profile interval even with no other sink
     wants_metrics = (data.dashboard is not None or config.verbose
-        or data.wandb is not None)
+        or data.wandb is not None or config.get('track_history', False))
     if (data.profile.update(data) or done_training) and wants_metrics:
         _materialize_metrics(data)
         if data.dashboard is not None:
@@ -827,8 +832,10 @@ def step_many(data, epochs):
     data.last_lr = lr
 
     done_training = data.global_step >= config.total_timesteps
+    # track_history: sweeps optimize the run's metric series, so
+    # materialize at the profile interval even with no other sink
     wants_metrics = (data.dashboard is not None or config.verbose
-        or data.wandb is not None)
+        or data.wandb is not None or config.get('track_history', False))
     if (data.profile.update(data) or done_training) and wants_metrics:
         _materialize_metrics(data)
         if data.dashboard is not None:

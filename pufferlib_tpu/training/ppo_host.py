@@ -245,7 +245,10 @@ def _finish_batch(data, p, infos, profile):
     h_prev_np = fetched[3] if p.need_snap else None
     c_prev_np = fetched[4] if p.need_snap else None
     with profile.eval_misc:
-        data.global_step += int(np.sum(p.mask))
+        # the pipelined drain can arrive after the buffer filled; those
+        # rows are dropped by store(), so don't count them as progress
+        if experience.ptr < experience.batch_size:
+            data.global_step += int(np.sum(p.mask))
         experience.store(np.asarray(p.o), value, actions,
             logprob, np.asarray(p.r),
             np.asarray(p.d, np.float32), np.asarray(p.env_id),

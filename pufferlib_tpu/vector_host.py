@@ -511,6 +511,9 @@ class HostMultiprocessing:
     def send(self, actions):
         send_precheck(self)
         self._dispatch_actions(actions, self.prev_workers)
+        # mixed use: a plain send() answering a recv_async batch must
+        # release its workers or they stay excluded from future waits
+        self._outstanding.difference_update(self.prev_workers)
 
     def _dispatch_actions(self, actions, workers):
         actions = np.asarray(actions)

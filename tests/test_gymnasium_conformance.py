@@ -80,3 +80,26 @@ def test_adapter_pickles_and_isinstance():
     assert isinstance(clone, GymnasiumAdapter)
     obs, _ = clone.reset(seed=0)
     assert obs.shape == env.observation_space.shape
+
+
+def test_adapter_unpickles_in_fresh_process(tmp_path):
+    """The unpickling side may be a process that never constructed an
+    adapter (SB3 SubprocVecEnv under spawn): the module must resolve
+    GymnasiumAdapterImpl on demand (PEP 562 __getattr__)."""
+    import pickle
+    import subprocess
+    import sys
+
+    env = GymnasiumAdapter(
+        GymnasiumPufferEnv(env=gymnasium.make('CartPole-v1')))
+    blob = tmp_path / 'adapter.pkl'
+    blob.write_bytes(pickle.dumps(env))
+    code = (
+        'import pickle, sys\n'
+        f'env = pickle.load(open({str(blob)!r}, "rb"))\n'
+        'obs, _ = env.reset(seed=0)\n'
+        'print("shape", obs.shape)\n')
+    proc = subprocess.run([sys.executable, '-c', code],
+        capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0, proc.stderr
+    assert 'shape (4,)' in proc.stdout

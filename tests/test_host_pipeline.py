@@ -143,3 +143,15 @@ def test_pipelined_trainer_trains():
     ppo_host.train(data)
     assert np.isfinite(data.losses.policy_loss)
     ppo_host.close(data)
+
+
+def test_plain_send_releases_outstanding():
+    """Answering a recv_async batch with plain send() must release its
+    workers from the outstanding set (mixed protocol use)."""
+    vec = make_pool()
+    vec.async_reset(seed=0)
+    for _ in range(3):  # would wedge by the 3rd cycle if leaking
+        o, r, d, t, infos, ids, mask, token = vec.recv_async()
+        vec.send(np.zeros(len(ids), np.int32))
+        assert not vec._outstanding
+    vec.close()

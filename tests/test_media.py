@@ -73,11 +73,15 @@ def test_overlay_renderer_semantics():
     assert out[16, 16, 2] > 200 and out[16, 16, 0] < 30
 
 
-def test_hsv_to_rgb_matches_matplotlib():
+def test_heat_ramp_matches_matplotlib_hue_wheel():
+    """_heat_rgb's direct triangular formula must equal the generic
+    HSV conversion at s=v=1 with hue = 2*(1-heat)/3 (what the
+    reference computes via matplotlib, pokemon_red_eval.py:19-26)."""
     import matplotlib.colors as mcolors
-    rng = np.random.RandomState(0)
-    hsv = rng.uniform(0, 1, (16, 16, 3))
-    assert np.allclose(media.hsv_to_rgb(hsv), mcolors.hsv_to_rgb(hsv),
+    heat = np.linspace(0.0, 1.0, 101)
+    hsv = np.stack([2 * (1 - heat) / 3, np.ones_like(heat),
+        np.ones_like(heat)], axis=-1)
+    assert np.allclose(media._heat_rgb(heat), mcolors.hsv_to_rgb(hsv),
         atol=1e-12)
 
 

@@ -325,3 +325,17 @@ def test_lstm_slab_inactive_when_geometry_mismatch():
     data = make_lstm_data(minibatch_size=256, seed=9, exp_id='mismatch')
     ppo.step(data)
     assert np.isfinite(data.losses.policy_loss)
+
+
+def test_track_history_on_fused_path():
+    """The sweep objective's series must populate on the fused step()
+    path when track_history is set, even with no verbose/wandb sink."""
+    data = make_data(seed=11, exp_id='hist-on', track_history=True)
+    data.profile.interval = 0.0  # fire the metrics interval every step
+    for _ in range(2):
+        ppo.step(data)
+    assert len(data.stats_history) >= 1
+    d2 = make_data(seed=11, exp_id='hist-off')
+    for _ in range(2):
+        ppo.step(d2)
+    assert d2.pending is not None  # no sink: metrics stayed lazy
