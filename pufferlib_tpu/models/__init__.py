@@ -224,11 +224,14 @@ class LSTMWrapper(nn.Module):
 
             if use_pallas:
                 import os
-                # 'xp' (projection outside, default), 'fused'
-                # (projection inside the kernel — smaller streams,
-                # larger tiles, but ~100s extra Mosaic lowering), or
-                # 'tm' (experimental time-major grid)
-                kernel_kind = os.environ.get('PUFFER_LSTM_KERNEL', 'xp')
+                # 'fused' (default: projection inside the kernel —
+                # 4x-smaller streams, VMEM-budgeted tiles; measured
+                # 13.7 -> 16.3M LSTM SPS over 'xp' at bench shapes,
+                # at the cost of ~100s extra Mosaic lowering),
+                # 'xp' (projection outside), or 'tm' (experimental
+                # time-major grid)
+                kernel_kind = os.environ.get('PUFFER_LSTM_KERNEL',
+                    'fused')
                 if kernel_kind == 'fused':
                     # input projection fused INTO the kernel: the
                     # (T, B, 4H) x_proj never exists in HBM — at

@@ -152,6 +152,26 @@ def _tile_env(B, var, prefer):
     return _tile(B, prefer)
 
 
+#: usable scoped-VMEM budget per grid step (bytes): 16 MB limit minus
+#: headroom for compiler scratch; block estimates are doubled for
+#: pipelining before the comparison
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _tile_budget(B, var, block_bytes_fn):
+    """Largest batch tile whose double-buffered block estimate fits the
+    VMEM budget (measured on v5e: fused fwd auto-picks 256 at bench
+    shapes, +0.4M SPS over 128; 512 fails compile). Env override wins."""
+    import os
+    override = os.environ.get(var)
+    if override:
+        return _tile(B, int(override))
+    for bt in (512, 256, 128, 64, 32, 16, 8):
+        if B % bt == 0 and 2 * block_bytes_fn(bt) <= _VMEM_BUDGET:
+            return bt
+    return _tile(B, 8)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def lstm_scan(x_proj, h0, c0, w_hh, cdt=jnp.bfloat16):
     return _lstm_fwd_impl(x_proj, h0, c0, w_hh, cdt, with_cseq=False)[:3]
@@ -382,7 +402,16 @@ def lstm_scan_fused(x, h0, c0, w_ih, w_hh, b, cdt=jnp.bfloat16):
 def _lstm_fused_impl(x, h0, c0, w_ih, w_hh, b, cdt, with_cseq=True):
     T, B, D = x.shape
     H = h0.shape[-1]
-    bt = _tile_env(B, 'PUFFER_LSTM_TILE_FWD', 128)
+    xb = x.dtype.itemsize
+    rb = 2 if cdt == jnp.bfloat16 else 4
+
+    def fwd_bytes(bt):
+        seqs = T * bt * (D * xb + (2 if with_cseq else 1) * H * rb)
+        weights = (D + H + 1) * 4 * H * 4
+        states = 4 * bt * H * 4
+        return seqs + weights + states
+
+    bt = _tile_budget(B, 'PUFFER_LSTM_TILE_FWD', fwd_bytes)
     assert bt is not None, f'batch {B} not tileable'
     grid = (B // bt,)
     vm = pltpu.VMEM
@@ -432,8 +461,16 @@ def _lstm_fused_bwd(cdt, residuals, grads):
     g_outs, g_hT, g_cT = grads
     T, B, D = x.shape
     H = h0.shape[-1]
-    bt = _tile_env(B, 'PUFFER_LSTM_TILE_BWD',
-        128 if x.dtype == jnp.bfloat16 else 64)
+    xb = x.dtype.itemsize
+    rb = outs.dtype.itemsize
+
+    def bwd_bytes(bt):
+        seqs = T * bt * (2 * D * xb + 3 * H * rb)  # x, dx, outs/cseq/g
+        weights = 2 * (D + H + 1) * 4 * H * 4  # w + dw blocks
+        states = 8 * bt * H * 4
+        return seqs + weights + states
+
+    bt = _tile_budget(B, 'PUFFER_LSTM_TILE_BWD', bwd_bytes)
     grid = (B // bt,)
     kernel = functools.partial(_bwd_fused_kernel, T=T, cdt=cdt)
     vm = pltpu.VMEM
