@@ -224,15 +224,27 @@ class LSTMWrapper(nn.Module):
 
             if use_pallas:
                 import os
-                # 'fused' (default: projection inside the kernel —
-                # 4x-smaller streams, VMEM-budgeted tiles; measured
-                # 13.7 -> 16.3M LSTM SPS over 'xp' at bench shapes,
-                # at the cost of ~100s extra Mosaic lowering),
-                # 'xp' (projection outside), or 'tm' (experimental
+                # 'cat' (default: projection fused into the kernel AND
+                # the two gate matmuls combined into one [x|h] @
+                # [W_ih;W_hh] — halves MXU dispatches, doubles K; the
+                # kernel runs ~75% of bf16 roofline, measured 1.50 ->
+                # 0.93 ms fwd+bwd per bench minibatch), 'fused'
+                # (projection inside, separate gate matmuls), 'xp'
+                # (projection outside), or 'tm' (experimental
                 # time-major grid)
                 kernel_kind = os.environ.get('PUFFER_LSTM_KERNEL',
-                    'fused')
-                if kernel_kind == 'fused':
+                    'cat')
+                if kernel_kind == 'cat':
+                    from pufferlib_tpu.ops.pallas.lstm_cat import (
+                        lstm_scan_cat)
+                    outs, h_fin, c_fin = lstm_scan_cat(
+                        to_tm(layer_in).astype(cdt), h0[layer],
+                        c0[layer], w_ih, w_hh, b, cdt)
+                    layer_in = to_tm(outs)
+                    hs.append(h_fin)
+                    cs.append(c_fin)
+                    continue
+                elif kernel_kind == 'fused':
                     # input projection fused INTO the kernel: the
                     # (T, B, 4H) x_proj never exists in HBM — at
                     # production shapes it was the LSTM update's

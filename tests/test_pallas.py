@@ -153,6 +153,81 @@ def test_pallas_lstm_fused_projection_matches_reference():
         assert jnp.allclose(a, bb, atol=5e-4), float(jnp.abs(a - bb).max())
 
 
+def test_pallas_lstm_cat_matches_reference():
+    """Combined-operand kernel (lstm_scan_cat): gates computed as one
+    [x|h] @ [W_ih;W_hh] matmul; forward and custom-VJP backward (incl.
+    dW_ih, dW_hh, db) must match the pure-JAX reference."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from pufferlib_tpu.ops.pallas.lstm import lstm_scan_fused_reference
+    from pufferlib_tpu.ops.pallas.lstm_cat import lstm_scan_cat
+
+    T, B, D, H = 3, 16, 96, 128
+    k = jax.random.split(jax.random.PRNGKey(2), 6)
+    x = jax.random.normal(k[0], (T, B, D), jnp.float32) * 0.5
+    h0 = jax.random.normal(k[1], (B, H), jnp.float32) * 0.1
+    c0 = jax.random.normal(k[2], (B, H), jnp.float32) * 0.1
+    wih = jax.random.normal(k[3], (D, 4 * H), jnp.float32) * 0.1
+    whh = jax.random.normal(k[4], (H, 4 * H), jnp.float32) * 0.1
+    b = jax.random.normal(k[5], (4 * H,), jnp.float32) * 0.1
+
+    with pltpu.force_tpu_interpret_mode():
+        outs_p, hT_p, cT_p = lstm_scan_cat(
+            x, h0, c0, wih, whh, b, jnp.float32)
+    outs_r, hT_r, cT_r = lstm_scan_fused_reference(
+        x, h0, c0, wih, whh, b, jnp.float32)
+    assert jnp.allclose(outs_p, outs_r, atol=1e-5)
+    assert jnp.allclose(hT_p, hT_r, atol=1e-5)
+    assert jnp.allclose(cT_p, cT_r, atol=1e-5)
+
+    def loss(fn):
+        def f(x, h0, c0, wih, whh, b):
+            o, h, c = fn(x, h0, c0, wih, whh, b, jnp.float32)
+            return jnp.sum(o ** 2) + jnp.sum(h * c) + jnp.sum(o * 0.3)
+        return f
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss(lstm_scan_cat), argnums=(0, 1, 2, 3, 4, 5))(
+            x, h0, c0, wih, whh, b)
+    gr = jax.grad(loss(lstm_scan_fused_reference),
+        argnums=(0, 1, 2, 3, 4, 5))(x, h0, c0, wih, whh, b)
+    for a, bb in zip(gp, gr):
+        assert a.shape == bb.shape
+        assert jnp.allclose(a, bb, atol=5e-4), float(jnp.abs(a - bb).max())
+
+
+def test_lstm_wrapper_cat_kernel_matches_plain(monkeypatch):
+    """LSTMWrapper with PUFFER_LSTM_KERNEL=cat (the default) matches
+    the pure-scan path on the same params."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from pufferlib_tpu.models import Default, LSTMWrapper
+
+    obs_shape = (7,)
+    B, T = 8, 4
+    from pufferlib_tpu import spaces
+    mod = lambda use_pallas: LSTMWrapper(
+        policy=Default(obs_shape=obs_shape,
+            action_space=spaces.Discrete(5), hidden_size=32),
+        obs_shape=obs_shape, input_size=32, hidden_size=32,
+        use_pallas=use_pallas)
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T) + obs_shape)
+    m_plain = mod(False)
+    params = m_plain.init(jax.random.PRNGKey(1), x)
+    lo_p, v_p, (h_p, c_p) = m_plain.apply(params, x)
+
+    monkeypatch.setenv('PUFFER_LSTM_KERNEL', 'cat')
+    m_cat = mod(True)
+    with pltpu.force_tpu_interpret_mode():
+        lo_f, v_f, (h_f, c_f) = m_cat.apply(params, x)
+    assert jnp.allclose(lo_f, lo_p, atol=1e-5)
+    assert jnp.allclose(v_f, v_p, atol=1e-5)
+    assert jnp.allclose(h_f, h_p, atol=1e-5)
+    assert jnp.allclose(c_f, c_p, atol=1e-5)
+
+
 def test_lstm_wrapper_fused_kernel_matches_plain(monkeypatch):
     """LSTMWrapper with PUFFER_LSTM_KERNEL=fused (pallas forced on)
     matches the pure-scan path on the same params."""
