@@ -92,7 +92,12 @@ class Default(nn.Module):
             bias_init=nn.initializers.zeros, name='head',
             dtype=self.dtype, param_dtype=jnp.float32)
 
-    def encode_observations(self, observations):
+    def encoder_features(self, observations):
+        """Pre-encoder features: flatten + nativize + dtype cast, NO
+        Dense. Fused-kernel contract: encode_observations(x) ==
+        (relu(encoder_features(x) @ k + b), None) with (k, b) from
+        encoder_params() — LSTMWrapper's PUFFER_LSTM_KERNEL=enc path
+        runs the Dense+relu inside the Pallas LSTM kernel."""
         batch = observations.shape[0]
         x = observations.reshape(batch, -1)
         if self.emulated is not None and np.dtype(
@@ -105,6 +110,16 @@ class Default(nn.Module):
                     for leaf in leaves], axis=1)
         else:
             x = x.astype(self.dtype)
+        return x
+
+    def encoder_params(self):
+        """(kernel, bias) of the single Dense encoder (see
+        encoder_features)."""
+        v = self.encoder.variables['params']
+        return v['kernel'], v['bias']
+
+    def encode_observations(self, observations):
+        x = self.encoder_features(observations)
         return jax.nn.relu(self.encoder(x)), None
 
     def decode_actions(self, hidden, lookup=None):
@@ -165,13 +180,45 @@ class LSTMWrapper(nn.Module):
         else:
             raise ValueError(f'Invalid input tensor shape {x_shape}')
 
+        import os
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = (jax.default_backend() == 'tpu' and T > 1
+                and B % 8 == 0)
+        # 'enc' (default: the 'cat' combined-operand cell — one [x|h]
+        # @ [W_ih;W_hh] gate matmul, ~75% of bf16 roofline — PLUS the
+        # policy's Dense+relu obs encoder fused in as a per-tile
+        # pre-pass: the encoder output, dx stream, and encoder
+        # backward never touch HBM/XLA; measured 17.7 -> 18.8M LSTM
+        # SPS. Needs the encoder_features/encoder_params contract —
+        # silently falls back to 'cat' when absent), 'cat' (combined
+        # gate matmul, encoder outside), 'fused' (projection inside,
+        # separate gate matmuls), 'xp' (projection outside), or 'tm'
+        # (experimental time-major grid)
+        kernel_kind = os.environ.get('PUFFER_LSTM_KERNEL', 'enc') \
+            if use_pallas else None
+        fuse_enc = (kernel_kind in ('enc', 'enc2') and T > 1
+            and self.num_layers == 1 and not self.is_initializing()
+            and hasattr(self.policy, 'encoder_features')
+            and hasattr(self.policy, 'encoder_params'))
+
         x = x.reshape((B * T,) + tuple(self.obs_shape))
-        hidden, lookup = self.policy.encode_observations(x)
-        assert hidden.shape == (B * T, self.input_size)
-        if time_major:
-            hidden = hidden.reshape(T, B, self.input_size)
+        if fuse_enc:
+            # obs are constants in RL training: stop_gradient makes
+            # the kernel's zero feats-cotangent contract explicit
+            feats = jax.lax.stop_gradient(
+                self.policy.encoder_features(x))
+            lookup = None
+            F = feats.shape[-1]
+            hidden = feats.reshape(
+                (T, B, F) if time_major else (B, T, F))
         else:
-            hidden = hidden.reshape(B, T, self.input_size)
+            hidden, lookup = self.policy.encode_observations(x)
+            assert hidden.shape == (B * T, self.input_size)
+            if time_major:
+                hidden = hidden.reshape(T, B, self.input_size)
+            else:
+                hidden = hidden.reshape(B, T, self.input_size)
 
         if state is None:
             h0 = jnp.zeros((self.num_layers, B, self.hidden_size),
@@ -196,10 +243,6 @@ class LSTMWrapper(nn.Module):
             # accumulates in f32 for stability across long horizons.
             cdt = self.dtype
 
-            use_pallas = self.use_pallas
-            if use_pallas is None:
-                use_pallas = (jax.default_backend() == 'tpu' and T > 1
-                    and B % 8 == 0)
             if T == 1:
                 # rollout fast path: one cell step, no scan machinery
                 x_proj = (layer_in.astype(cdt) @ w_ih.astype(cdt)
@@ -223,18 +266,23 @@ class LSTMWrapper(nn.Module):
                 return v if time_major else jnp.swapaxes(v, 0, 1)
 
             if use_pallas:
-                import os
-                # 'cat' (default: projection fused into the kernel AND
-                # the two gate matmuls combined into one [x|h] @
-                # [W_ih;W_hh] — halves MXU dispatches, doubles K; the
-                # kernel runs ~75% of bf16 roofline, measured 1.50 ->
-                # 0.93 ms fwd+bwd per bench minibatch), 'fused'
-                # (projection inside, separate gate matmuls), 'xp'
-                # (projection outside), or 'tm' (experimental
-                # time-major grid)
-                kernel_kind = os.environ.get('PUFFER_LSTM_KERNEL',
-                    'cat')
-                if kernel_kind == 'cat':
+                # kernel_kind/fuse_enc chosen above (docstring there)
+                if fuse_enc and layer == 0:
+                    if kernel_kind == 'enc2':
+                        from pufferlib_tpu.ops.pallas.lstm_enc2 import (
+                            lstm_scan_enc2 as lstm_scan_enc)
+                    else:
+                        from pufferlib_tpu.ops.pallas.lstm_enc import (
+                            lstm_scan_enc)
+                    w_enc, b_enc = self.policy.encoder_params()
+                    outs, h_fin, c_fin = lstm_scan_enc(
+                        to_tm(layer_in).astype(cdt), h0[layer],
+                        c0[layer], w_enc, b_enc, w_ih, w_hh, b, cdt)
+                    layer_in = to_tm(outs)
+                    hs.append(h_fin)
+                    cs.append(c_fin)
+                    continue
+                elif kernel_kind in ('enc', 'enc2', 'cat'):
                     from pufferlib_tpu.ops.pallas.lstm_cat import (
                         lstm_scan_cat)
                     outs, h_fin, c_fin = lstm_scan_cat(

@@ -1,25 +1,30 @@
-"""Fully-fused encoder+LSTM kernel: relu(feats @ W_enc + b_enc) feeds
-the combined-operand LSTM cell, all inside one Pallas kernel.
+"""Encoder-fused LSTM kernel, v2: all non-recurrent matmuls hoisted
+out of the time loop into per-tile VMEM pre/post-passes.
 
-Motivation (measured, docs/PERF.md): with the encoder outside, every
-minibatch pays the encoder output write (T,B,H), the LSTM backward's
-dx write (T,B,H), the encoder backward's re-read of both, and the
-standalone encoder matmul dispatches. Observations are NOT
-differentiated in RL training — only the encoder's weights need
-gradients — so fusing the encoder in means the kernel streams the raw
-(T,B,F) features once per pass and NO intermediate or gradient
-sequence ever exists in HBM. The backward recomputes the encoder
-matmul (FLOPs are ~5% of the gate matmul) and accumulates dW_enc /
-db_enc in VMEM across the whole grid.
+The recurrence only truly needs h_{t-1}: everything else is batch
+work. Per tile (bt batch rows, all T timesteps):
 
-Contract: the features cotangent is ZERO (callers pass
-stop_gradient(feats); the wrapper does). Gate order i,f,g,o matches
-torch.nn.LSTM (reference models.py:64-111).
+  fwd pre-pass   x   = relu(feats @ W_enc + b_enc)        (T*bt, D)
+                 xp  = x @ W_ih + b                       (T*bt, 4H)
+  fwd loop       gates_t = xp[t] + h @ W_hh   (K=H only)
+  bwd pre-pass   recompute x, xp
+  bwd loop       recompute gates_t; elementwise chain -> dgates[t];
+                 dh_prev = dgates_t @ W_hh.T  (N=H only)
+  bwd post-pass  dW_ih = x.T  @ dgates        (ONE K=T*bt matmul)
+                 dW_hh = hprev.T @ dgates     (ONE K=T*bt matmul)
+                 db    = sum(dgates)
+                 dx    = dgates @ W_ih.T; relu mask;
+                 dW_enc = feats.T @ dpre; db_enc = sum(dpre)
 
-lstm_scan_enc(feats, h0, c0, w_enc, b_enc, w_ih, w_hh, b)
-  feats: (T, B, F) pre-encoder features (obs after reshape/nativize/
-         dtype cast); w_enc: (F, D); b_enc: (D,)
-  -> (outs, hT, cT) with outs (T, B, H)
+vs lstm_scan_enc ('enc'): the loop drops from one K=D+H combined
+matmul (+ per-timestep dW accumulation at K=bt in bwd) to the minimal
+K=H / N=H recurrent matmuls; the hoisted matmuls run at M or K =
+T*bt = thousands, where the MXU is actually efficient. All
+intermediates live in VMEM scratch — nothing extra touches HBM.
+
+Same signature/semantics as lstm_scan_enc (lstm_enc.py); the feats
+cotangent is zero by contract (observations are not differentiated).
+Gate order i,f,g,o matches torch.nn.LSTM (reference models.py:64-111).
 """
 import functools
 
@@ -30,44 +35,40 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pufferlib_tpu.ops.pallas.lstm import _tile_budget
 from pufferlib_tpu.ops.pallas.lstm_cat import _act, _compiler_params
+from pufferlib_tpu.ops.pallas.lstm_enc import (
+    _lanes, lstm_scan_enc_reference)
 
 
-def _lanes(n):
-    # VMEM lane padding: the minor dim rounds up to 128
-    return ((n + 127) // 128) * 128
-
-
-def _encode_block(f_ref, we, be, cdt, T):
-    # per-TILE encoder pre-pass: ONE (T*bt, F) @ (F, D) matmul. The
-    # first attempt ran the encoder per TIMESTEP ((bt, F) matmuls, 2x
-    # per fwd+bwd) and measured 1.68 ms vs 0.93 for the LSTM alone —
-    # tall-M amortizes the ragged K=F contraction instead.
+def _pre(f_ref, we_ref, be_ref, wih_ref, b_ref, cdt, T):
     bt = f_ref.shape[1]
     F = f_ref.shape[-1]
     feats2 = f_ref[:].reshape(T * bt, F).astype(cdt)
-    pre = jnp.dot(feats2, we, preferred_element_type=jnp.float32) + be
-    return feats2, jnp.maximum(pre, 0.0)
+    pre = jnp.dot(feats2, we_ref[:].astype(cdt),
+        preferred_element_type=jnp.float32) \
+        + be_ref[:].astype(jnp.float32)
+    x = jnp.maximum(pre, 0.0)
+    xp = jnp.dot(x.astype(cdt), wih_ref[:].astype(cdt),
+        preferred_element_type=jnp.float32) \
+        + b_ref[:].astype(jnp.float32)
+    return feats2, x, xp
 
 
-def _fwd_kernel(f_ref, h0_ref, c0_ref, we_ref, be_ref, w_ref, b_ref,
-        outs_ref, ht_ref, ct_ref, cseq_ref=None, x_scr=None, *, T, cdt,
-        save_cseq):
-    we = we_ref[:].astype(cdt)
-    be = be_ref[:].astype(jnp.float32)
-    w = w_ref[:].astype(cdt)
-    bias = b_ref[:].astype(jnp.float32)
+def _fwd_kernel(f_ref, h0_ref, c0_ref, we_ref, be_ref, wih_ref,
+        whh_ref, b_ref, outs_ref, ht_ref, ct_ref, cseq_ref, x_scr,
+        xp_scr, *, T, cdt, save_cseq):
+    whh = whh_ref[:].astype(cdt)
     H = h0_ref.shape[-1]
     bt = h0_ref.shape[0]
 
-    _, x_all = _encode_block(f_ref, we, be, cdt, T)
-    x_scr[:] = x_all.astype(cdt)
+    _, x, xp = _pre(f_ref, we_ref, be_ref, wih_ref, b_ref, cdt, T)
+    x_scr[:] = x.astype(x_scr.dtype)
+    xp_scr[:] = xp.astype(xp_scr.dtype)
 
     def body(t, carry):
         h, c = carry
-        x = x_scr[pl.ds(t * bt, bt)]
-        xh = jnp.concatenate([x, h.astype(cdt)], axis=-1)
-        gates = jnp.dot(xh, w,
-            preferred_element_type=jnp.float32) + bias
+        gates = xp_scr[pl.ds(t * bt, bt)].astype(jnp.float32) \
+            + jnp.dot(h.astype(cdt), whh,
+                preferred_element_type=jnp.float32)
         i, f, g, o = _act(gates, H)
         c = f * c + i * g
         h = o * jnp.tanh(c)
@@ -81,14 +82,11 @@ def _fwd_kernel(f_ref, h0_ref, c0_ref, we_ref, be_ref, w_ref, b_ref,
     ct_ref[:] = c
 
 
-def _bwd_kernel(f_ref, h0_ref, c0_ref, we_ref, be_ref, w_ref, b_ref,
-        outs_ref, cseq_ref, g_outs_ref, g_ht_ref, g_ct_ref,
-        dh0_ref, dc0_ref, dwe_ref, dbe_ref, dw_ref, db_ref,
-        x_scr, dx_scr, *, T, cdt):
-    we = we_ref[:].astype(cdt)
-    be = be_ref[:].astype(jnp.float32)
-    w = w_ref[:].astype(cdt)
-    bias = b_ref[:].astype(jnp.float32)
+def _bwd_kernel(f_ref, h0_ref, c0_ref, we_ref, be_ref, wih_ref,
+        whh_ref, b_ref, outs_ref, cseq_ref, g_outs_ref, g_ht_ref,
+        g_ct_ref, dh0_ref, dc0_ref, dwe_ref, dbe_ref, dwih_ref,
+        dwhh_ref, db_ref, x_scr, xp_scr, dg_scr, *, T, cdt):
+    whh = whh_ref[:].astype(cdt)
     H = h0_ref.shape[-1]
     D = we_ref.shape[-1]
     bt = h0_ref.shape[0]
@@ -98,25 +96,26 @@ def _bwd_kernel(f_ref, h0_ref, c0_ref, we_ref, be_ref, w_ref, b_ref,
     def _():
         dwe_ref[:] = jnp.zeros_like(dwe_ref)
         dbe_ref[:] = jnp.zeros_like(dbe_ref)
-        dw_ref[:] = jnp.zeros_like(dw_ref)
+        dwih_ref[:] = jnp.zeros_like(dwih_ref)
+        dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
         db_ref[:] = jnp.zeros_like(db_ref)
 
-    feats2, x_all = _encode_block(f_ref, we, be, cdt, T)
-    x_scr[:] = x_all.astype(cdt)
+    feats2, x, xp = _pre(f_ref, we_ref, be_ref, wih_ref, b_ref, cdt, T)
+    x_scr[:] = x.astype(x_scr.dtype)
+    xp_scr[:] = xp.astype(xp_scr.dtype)
 
     def body(k, carry):
         t = T - 1 - k
-        dh, dc, dw, db = carry
+        dh, dc = carry
         h_prev = jnp.where(t == 0, h0_ref[:], outs_ref[pl.ds(
             jnp.maximum(t - 1, 0), 1)][0].astype(jnp.float32))
         c_prev = jnp.where(t == 0, c0_ref[:], cseq_ref[pl.ds(
             jnp.maximum(t - 1, 0), 1)][0].astype(jnp.float32))
         c_t = cseq_ref[t].astype(jnp.float32)
 
-        x = x_scr[pl.ds(t * bt, bt)]
-        xh = jnp.concatenate([x, h_prev.astype(cdt)], axis=-1)
-        gates = jnp.dot(xh, w,
-            preferred_element_type=jnp.float32) + bias
+        gates = xp_scr[pl.ds(t * bt, bt)].astype(jnp.float32) \
+            + jnp.dot(h_prev.astype(cdt), whh,
+                preferred_element_type=jnp.float32)
         i, f, g, o = _act(gates, H)
 
         dh = dh + g_outs_ref[t].astype(jnp.float32)
@@ -130,30 +129,37 @@ def _bwd_kernel(f_ref, h0_ref, c0_ref, we_ref, be_ref, w_ref, b_ref,
         d_g = dg * (1.0 - g * g)
         d_o = do * o * (1.0 - o)
         dgates = jnp.concatenate([d_i, d_f, d_g, d_o], axis=-1)
-        dgates_c = dgates.astype(cdt)
+        dg_scr[pl.ds(t * bt, bt)] = dgates.astype(dg_scr.dtype)
 
-        dxh = jnp.dot(dgates_c, w.T,
+        dh_prev = jnp.dot(dgates.astype(cdt), whh.T,
             preferred_element_type=jnp.float32)
-        dx_scr[pl.ds(t * bt, bt)] = dxh[:, :D].astype(dx_scr.dtype)
-        dh_prev = dxh[:, D:]
-        dw = dw + jnp.dot(xh.T, dgates_c,
-            preferred_element_type=jnp.float32)
-        db = db + jnp.sum(dgates, axis=0, keepdims=True)
         dc_prev = dc * f
-        return (dh_prev, dc_prev, dw, db)
+        return (dh_prev, dc_prev)
 
-    dh, dc, dw, db = jax.lax.fori_loop(0, T, body, (
-        g_ht_ref[:], g_ct_ref[:], jnp.zeros_like(dw_ref),
-        jnp.zeros_like(db_ref)))
+    dh, dc = jax.lax.fori_loop(0, T, body,
+        (g_ht_ref[:], g_ct_ref[:]))
     dh0_ref[:] = dh
     dc0_ref[:] = dc
-    dw_ref[:] += dw
-    db_ref[:] += db
 
-    # encoder backward, once per tile: relu mask, then ONE (F, T*bt)
-    # @ (T*bt, D) weight-grad matmul. dx never touches HBM.
-    dpre = jnp.where(x_scr[:].astype(jnp.float32) > 0,
-        dx_scr[:].astype(jnp.float32), 0.0).astype(cdt)
+    # post-pass: every remaining gradient is ONE tall matmul/reduce
+    # over the (T*bt, .) scratch blocks.
+    dgates_all = dg_scr[:].astype(cdt)
+    x_all = x_scr[:].astype(cdt)
+    # h inputs per timestep: [h0; outs[0..T-2]] flattened to (T*bt, H)
+    hprev_all = jnp.concatenate([
+        h0_ref[:].astype(cdt),
+        outs_ref[pl.ds(0, T - 1)].reshape((T - 1) * bt, H).astype(cdt),
+    ], axis=0)
+    dwih_ref[:] += jnp.dot(x_all.T, dgates_all,
+        preferred_element_type=jnp.float32)
+    dwhh_ref[:] += jnp.dot(hprev_all.T, dgates_all,
+        preferred_element_type=jnp.float32)
+    db_ref[:] += jnp.sum(dg_scr[:].astype(jnp.float32), axis=0,
+        keepdims=True)
+    dx_all = jnp.dot(dgates_all, wih_ref[:].astype(cdt).T,
+        preferred_element_type=jnp.float32)
+    dpre = jnp.where(x_scr[:].astype(jnp.float32) > 0, dx_all,
+        0.0).astype(cdt)
     dwe_ref[:] += jnp.dot(feats2.T, dpre,
         preferred_element_type=jnp.float32)
     dbe_ref[:] += jnp.sum(dpre.astype(jnp.float32), axis=0,
@@ -161,7 +167,7 @@ def _bwd_kernel(f_ref, h0_ref, c0_ref, we_ref, be_ref, w_ref, b_ref,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
-def lstm_scan_enc(feats, h0, c0, w_enc, b_enc, w_ih, w_hh, b,
+def lstm_scan_enc2(feats, h0, c0, w_enc, b_enc, w_ih, w_hh, b,
         cdt=jnp.bfloat16):
     return _impl(feats, h0, c0, w_enc, b_enc, w_ih, w_hh, b, cdt,
         with_cseq=False)[:3]
@@ -172,7 +178,6 @@ def _impl(feats, h0, c0, w_enc, b_enc, w_ih, w_hh, b, cdt,
     T, B, F = feats.shape
     D = w_enc.shape[-1]
     H = h0.shape[-1]
-    w = jnp.concatenate([w_ih, w_hh], axis=0)  # (D+H, 4H)
     fb = feats.dtype.itemsize
     rb = 2 if cdt == jnp.bfloat16 else 4
 
@@ -181,7 +186,7 @@ def _impl(feats, h0, c0, w_enc, b_enc, w_ih, w_hh, b, cdt,
             + (2 if with_cseq else 1) * H * rb)
         weights = (F * D + (D + H + 1) * 4 * H) * 4
         states = 4 * bt * H * 4
-        scratch = T * bt * D * rb
+        scratch = T * bt * (D + 4 * H) * rb
         return seqs + weights + states + scratch
 
     bt = _tile_budget(B, 'PUFFER_LSTM_TILE_FWD', fwd_bytes)
@@ -199,7 +204,8 @@ def _impl(feats, h0, c0, w_enc, b_enc, w_ih, w_hh, b, cdt,
         state_spec,
         pl.BlockSpec((F, D), lambda i: (0, 0), memory_space=vm),
         pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=vm),
-        pl.BlockSpec((D + H, 4 * H), lambda i: (0, 0), memory_space=vm),
+        pl.BlockSpec((D, 4 * H), lambda i: (0, 0), memory_space=vm),
+        pl.BlockSpec((H, 4 * H), lambda i: (0, 0), memory_space=vm),
         pl.BlockSpec((1, 4 * H), lambda i: (0, 0), memory_space=vm),
     ]
     out_specs = [seq_spec, state_spec, state_spec]
@@ -211,21 +217,20 @@ def _impl(feats, h0, c0, w_enc, b_enc, w_ih, w_hh, b, cdt,
     if with_cseq:
         out_specs = out_specs + [seq_spec]
         out_shape = out_shape + [jax.ShapeDtypeStruct((T, B, H), rdt)]
-    rdt_c = jnp.bfloat16 if cdt == jnp.bfloat16 else jnp.float32
-    if with_cseq:
         kernel = functools.partial(_fwd_kernel, T=T, cdt=cdt,
             save_cseq=True)
     else:
-        # keep the kernel signature positional: absorb the missing
-        # cseq_ref slot so x_scr lands on the scratch operand
-        def kernel(f, h0r, c0r, wer, ber, wr, br, o, ht, ct, x_scr):
-            return _fwd_kernel(f, h0r, c0r, wer, ber, wr, br, o, ht,
-                ct, None, x_scr, T=T, cdt=cdt, save_cseq=False)
+        def kernel(f, h0r, c0r, wer, ber, wihr, whhr, br, o, ht, ct,
+                x_scr, xp_scr):
+            return _fwd_kernel(f, h0r, c0r, wer, ber, wihr, whhr, br,
+                o, ht, ct, None, x_scr, xp_scr, T=T, cdt=cdt,
+                save_cseq=False)
     res = pl.pallas_call(
         kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape, compiler_params=_compiler_params(),
-        scratch_shapes=[pltpu.VMEM((T * bt, D), rdt_c)],
-    )(feats, h0, c0, w_enc, be2, w, b2)
+        scratch_shapes=[pltpu.VMEM((T * bt, D), rdt),
+            pltpu.VMEM((T * bt, 4 * H), rdt)],
+    )(feats, h0, c0, w_enc, be2, w_ih, w_hh, b2)
     if with_cseq:
         return res
     return tuple(res) + (None,)
@@ -244,7 +249,6 @@ def _bwd(cdt, residuals, grads):
     T, B, F = feats.shape
     D = w_enc.shape[-1]
     H = h0.shape[-1]
-    w = jnp.concatenate([w_ih, w_hh], axis=0)
     fb = feats.dtype.itemsize
     rb = outs.dtype.itemsize
 
@@ -252,30 +256,33 @@ def _bwd(cdt, residuals, grads):
         seqs = T * bt * (_lanes(F) * fb + 3 * H * rb)
         weights = 2 * (F * D + (D + H + 1) * 4 * H) * 4
         states = 8 * bt * H * 4
-        scratch = 2 * T * bt * D * rb
+        scratch = T * bt * (D + 8 * H + 4 * H) * rb
         return seqs + weights + states + scratch
 
     bt = _tile_budget(B, 'PUFFER_LSTM_TILE_BWD', bwd_bytes)
     grid = (B // bt,)
     vm = pltpu.VMEM
+    rdt = jnp.bfloat16 if cdt == jnp.bfloat16 else jnp.float32
     be2 = b_enc.reshape(1, D)
     b2 = b.reshape(1, 4 * H)
     seq_h = pl.BlockSpec((T, bt, H), lambda i: (0, i, 0),
         memory_space=vm)
     state_spec = pl.BlockSpec((bt, H), lambda i: (i, 0), memory_space=vm)
     kernel = functools.partial(_bwd_kernel, T=T, cdt=cdt)
-    rdt_c = jnp.bfloat16 if cdt == jnp.bfloat16 else jnp.float32
-    dh0, dc0, dwe, dbe, dw, db = pl.pallas_call(
+    dh0, dc0, dwe, dbe, dwih, dwhh, db = pl.pallas_call(
         kernel, grid=grid, compiler_params=_compiler_params(),
-        scratch_shapes=[pltpu.VMEM((T * bt, D), rdt_c),
-            pltpu.VMEM((T * bt, D), rdt_c)],
+        scratch_shapes=[pltpu.VMEM((T * bt, D), rdt),
+            pltpu.VMEM((T * bt, 4 * H), rdt),
+            pltpu.VMEM((T * bt, 4 * H), rdt)],
         in_specs=[
             pl.BlockSpec((T, bt, F), lambda i: (0, i, 0),
                 memory_space=vm),
             state_spec, state_spec,
             pl.BlockSpec((F, D), lambda i: (0, 0), memory_space=vm),
             pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=vm),
-            pl.BlockSpec((D + H, 4 * H), lambda i: (0, 0),
+            pl.BlockSpec((D, 4 * H), lambda i: (0, 0),
+                memory_space=vm),
+            pl.BlockSpec((H, 4 * H), lambda i: (0, 0),
                 memory_space=vm),
             pl.BlockSpec((1, 4 * H), lambda i: (0, 0), memory_space=vm),
             seq_h, seq_h, seq_h,
@@ -285,7 +292,9 @@ def _bwd(cdt, residuals, grads):
             state_spec, state_spec,
             pl.BlockSpec((F, D), lambda i: (0, 0), memory_space=vm),
             pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=vm),
-            pl.BlockSpec((D + H, 4 * H), lambda i: (0, 0),
+            pl.BlockSpec((D, 4 * H), lambda i: (0, 0),
+                memory_space=vm),
+            pl.BlockSpec((H, 4 * H), lambda i: (0, 0),
                 memory_space=vm),
             pl.BlockSpec((1, 4 * H), lambda i: (0, 0), memory_space=vm),
         ],
@@ -294,28 +303,18 @@ def _bwd(cdt, residuals, grads):
             jax.ShapeDtypeStruct((B, H), jnp.float32),
             jax.ShapeDtypeStruct((F, D), jnp.float32),
             jax.ShapeDtypeStruct((1, D), jnp.float32),
-            jax.ShapeDtypeStruct((D + H, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((D, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((H, 4 * H), jnp.float32),
             jax.ShapeDtypeStruct((1, 4 * H), jnp.float32),
         ],
-    )(feats, h0, c0, w_enc, be2, w, b2, outs, cseq, g_outs, g_hT, g_cT)
-    # feats cotangent is zero BY CONTRACT (observations are not
-    # differentiated; the wrapper stop_gradients them). The zeros are
-    # never materialized — XLA dead-code-eliminates the unused output.
+    )(feats, h0, c0, w_enc, be2, w_ih, w_hh, b2, outs, cseq, g_outs,
+        g_hT, g_cT)
+    # zero feats cotangent by contract; DCE'd by XLA (obs are
+    # stop_gradient'ed by the wrapper)
     return (jnp.zeros_like(feats), dh0, dc0,
         dwe.astype(w_enc.dtype), dbe.reshape(D).astype(b_enc.dtype),
-        dw[:D].astype(w_ih.dtype), dw[D:].astype(w_hh.dtype),
+        dwih.astype(w_ih.dtype), dwhh.astype(w_hh.dtype),
         db.reshape(4 * H).astype(b.dtype))
 
 
-lstm_scan_enc.defvjp(_fwd, _bwd)
-
-
-def lstm_scan_enc_reference(feats, h0, c0, w_enc, b_enc, w_ih, w_hh,
-        b, cdt=jnp.float32):
-    """Pure-JAX reference with identical semantics (for tests)."""
-    from pufferlib_tpu.ops.pallas.lstm import lstm_scan_fused_reference
-    pre = (jnp.dot(feats.astype(cdt), w_enc.astype(cdt),
-        preferred_element_type=jnp.float32)
-        + b_enc.astype(jnp.float32))
-    x = jnp.maximum(pre, 0.0).astype(feats.dtype)
-    return lstm_scan_fused_reference(x, h0, c0, w_ih, w_hh, b, cdt)
+lstm_scan_enc2.defvjp(_fwd, _bwd)

@@ -197,6 +197,163 @@ def test_pallas_lstm_cat_matches_reference():
         assert jnp.allclose(a, bb, atol=5e-4), float(jnp.abs(a - bb).max())
 
 
+def test_pallas_lstm_enc_matches_reference():
+    """Encoder-fused kernel (lstm_scan_enc): relu(feats @ W_enc +
+    b_enc) runs inside the kernel as a per-tile pre-pass; forward and
+    custom-VJP backward (incl. dW_enc, db_enc) must match the pure-JAX
+    reference. The feats cotangent is zero by contract."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from pufferlib_tpu.ops.pallas.lstm_enc import (
+        lstm_scan_enc, lstm_scan_enc_reference)
+
+    T, B, F, D, H = 3, 16, 49, 96, 128
+    k = jax.random.split(jax.random.PRNGKey(5), 8)
+    feats = jax.random.normal(k[0], (T, B, F), jnp.float32) * 0.5
+    h0 = jax.random.normal(k[1], (B, H), jnp.float32) * 0.1
+    c0 = jax.random.normal(k[2], (B, H), jnp.float32) * 0.1
+    we = jax.random.normal(k[3], (F, D), jnp.float32) * 0.1
+    be = jax.random.normal(k[4], (D,), jnp.float32) * 0.1
+    wih = jax.random.normal(k[5], (D, 4 * H), jnp.float32) * 0.1
+    whh = jax.random.normal(k[6], (H, 4 * H), jnp.float32) * 0.1
+    b = jax.random.normal(k[7], (4 * H,), jnp.float32) * 0.1
+    args = (feats, h0, c0, we, be, wih, whh, b)
+
+    with pltpu.force_tpu_interpret_mode():
+        outs_p, hT_p, cT_p = lstm_scan_enc(*args, jnp.float32)
+    outs_r, hT_r, cT_r = lstm_scan_enc_reference(*args, jnp.float32)
+    assert jnp.allclose(outs_p, outs_r, atol=1e-5)
+    assert jnp.allclose(hT_p, hT_r, atol=1e-5)
+    assert jnp.allclose(cT_p, cT_r, atol=1e-5)
+
+    def loss(fn):
+        def f(*a):
+            o, h, c = fn(*a, jnp.float32)
+            return jnp.sum(o ** 2) + jnp.sum(h * c) + jnp.sum(o * 0.3)
+        return f
+
+    # grads wrt everything except feats (zero by contract)
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss(lstm_scan_enc),
+            argnums=(1, 2, 3, 4, 5, 6, 7))(*args)
+    gr = jax.grad(loss(lstm_scan_enc_reference),
+        argnums=(1, 2, 3, 4, 5, 6, 7))(*args)
+    for a, bb in zip(gp, gr):
+        assert a.shape == bb.shape
+        assert jnp.allclose(a, bb, atol=5e-4), float(jnp.abs(a - bb).max())
+
+
+def test_pallas_lstm_enc2_matches_reference():
+    """Hoisted-matmul variant (lstm_scan_enc2): encoder + input
+    projection as per-tile pre-passes, weight grads as single tall
+    post-pass matmuls. Measured slower than lstm_scan_enc in-trainer
+    (15.8M vs 18.8M SPS, docs/PERF.md) but kept selectable; numerics
+    must still match the reference exactly."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from pufferlib_tpu.ops.pallas.lstm_enc import lstm_scan_enc_reference
+    from pufferlib_tpu.ops.pallas.lstm_enc2 import lstm_scan_enc2
+
+    T, B, F, D, H = 3, 16, 49, 96, 128
+    k = jax.random.split(jax.random.PRNGKey(7), 8)
+    feats = jax.random.normal(k[0], (T, B, F), jnp.float32) * 0.5
+    h0 = jax.random.normal(k[1], (B, H), jnp.float32) * 0.1
+    c0 = jax.random.normal(k[2], (B, H), jnp.float32) * 0.1
+    we = jax.random.normal(k[3], (F, D), jnp.float32) * 0.1
+    be = jax.random.normal(k[4], (D,), jnp.float32) * 0.1
+    wih = jax.random.normal(k[5], (D, 4 * H), jnp.float32) * 0.1
+    whh = jax.random.normal(k[6], (H, 4 * H), jnp.float32) * 0.1
+    b = jax.random.normal(k[7], (4 * H,), jnp.float32) * 0.1
+    args = (feats, h0, c0, we, be, wih, whh, b)
+
+    with pltpu.force_tpu_interpret_mode():
+        outs_p, hT_p, cT_p = lstm_scan_enc2(*args, jnp.float32)
+    outs_r, hT_r, cT_r = lstm_scan_enc_reference(*args, jnp.float32)
+    assert jnp.allclose(outs_p, outs_r, atol=1e-5)
+    assert jnp.allclose(hT_p, hT_r, atol=1e-5)
+    assert jnp.allclose(cT_p, cT_r, atol=1e-5)
+
+    def loss(fn):
+        def f(*a):
+            o, h, c = fn(*a, jnp.float32)
+            return jnp.sum(o ** 2) + jnp.sum(h * c) + jnp.sum(o * 0.3)
+        return f
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss(lstm_scan_enc2),
+            argnums=(1, 2, 3, 4, 5, 6, 7))(*args)
+    gr = jax.grad(loss(lstm_scan_enc_reference),
+        argnums=(1, 2, 3, 4, 5, 6, 7))(*args)
+    for a, bb in zip(gp, gr):
+        assert a.shape == bb.shape
+        assert jnp.allclose(a, bb, atol=5e-4), float(jnp.abs(a - bb).max())
+
+
+def test_lstm_wrapper_enc_kernel_matches_plain(monkeypatch):
+    """LSTMWrapper with PUFFER_LSTM_KERNEL=enc (the default: encoder
+    fused into the kernel via the encoder_features/encoder_params
+    contract) matches the pure-scan path on the same params, in both
+    (B, T) and time-major layouts."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from pufferlib_tpu.models import Default, LSTMWrapper
+
+    obs_shape = (7,)
+    B, T = 8, 4
+    from pufferlib_tpu import spaces
+    mod = lambda use_pallas: LSTMWrapper(
+        policy=Default(obs_shape=obs_shape,
+            action_space=spaces.Discrete(5), hidden_size=32),
+        obs_shape=obs_shape, input_size=32, hidden_size=32,
+        use_pallas=use_pallas)
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T) + obs_shape)
+    m_plain = mod(False)
+    params = m_plain.init(jax.random.PRNGKey(1), x)
+    lo_p, v_p, (h_p, c_p) = m_plain.apply(params, x)
+
+    monkeypatch.setenv('PUFFER_LSTM_KERNEL', 'enc')
+    m_enc = mod(True)
+    with pltpu.force_tpu_interpret_mode():
+        lo_f, v_f, (h_f, c_f) = m_enc.apply(params, x)
+    assert jnp.allclose(lo_f, lo_p, atol=1e-5)
+    assert jnp.allclose(v_f, v_p, atol=1e-5)
+    assert jnp.allclose(h_f, h_p, atol=1e-5)
+    assert jnp.allclose(c_f, c_p, atol=1e-5)
+
+    # time-major layout (the trainer's update path)
+    xt = jnp.swapaxes(x, 0, 1)
+    lo_pt, v_pt, (h_pt, c_pt) = m_plain.apply(
+        params, xt, time_major=True)
+    with pltpu.force_tpu_interpret_mode():
+        lo_ft, v_ft, (h_ft, c_ft) = m_enc.apply(
+            params, xt, time_major=True)
+    assert jnp.allclose(lo_ft, lo_pt, atol=1e-5)
+    assert jnp.allclose(v_ft, v_pt, atol=1e-5)
+    assert jnp.allclose(h_ft, h_pt, atol=1e-5)
+    assert jnp.allclose(c_ft, c_pt, atol=1e-5)
+
+    # gradient parity wrt params (incl. the encoder, whose backward
+    # runs inside the kernel on the enc path)
+    def loss(m):
+        def f(p):
+            lo, v, _ = m.apply(p, x)
+            return (jnp.sum(jax.nn.log_softmax(lo) ** 2)
+                + jnp.sum(v * 0.7))
+        return f
+    g_p = jax.grad(loss(m_plain))(params)
+    with pltpu.force_tpu_interpret_mode():
+        g_f = jax.grad(loss(m_enc))(params)
+    flat_p = jax.tree.leaves_with_path(g_p)
+    flat_f = dict(jax.tree.leaves_with_path(g_f))
+    for path, leaf in flat_p:
+        other = flat_f[path]
+        assert jnp.allclose(leaf, other, atol=5e-4), (
+            path, float(jnp.abs(leaf - other).max()))
+
+
 def test_lstm_wrapper_cat_kernel_matches_plain(monkeypatch):
     """LSTMWrapper with PUFFER_LSTM_KERNEL=cat (the default) matches
     the pure-scan path on the same params."""
