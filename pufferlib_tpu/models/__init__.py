@@ -244,12 +244,19 @@ class LSTMWrapper(nn.Module):
             cdt = self.dtype
 
             if T == 1:
-                # rollout fast path: one cell step, no scan machinery
-                x_proj = (layer_in.astype(cdt) @ w_ih.astype(cdt)
-                    ) + b.astype(cdt)  # (B, 1, 4H)
-                gates = (x_proj[:, 0].astype(jnp.float32)
-                    + (h0[layer].astype(cdt) @ w_hh.astype(cdt)
-                    ).astype(jnp.float32))
+                # rollout fast path: one cell step, no scan machinery.
+                # Combined-operand form (one [x|h] @ [W_ih;W_hh] MXU
+                # dispatch instead of two; the weight concat is
+                # loop-invariant, XLA hoists it out of the rollout
+                # scan) — same rationale as the cat/enc kernels.
+                xh = jnp.concatenate(
+                    [layer_in[:, 0].astype(cdt),
+                        h0[layer].astype(cdt)], axis=-1)
+                w_cat = jnp.concatenate(
+                    [w_ih, w_hh], axis=0).astype(cdt)
+                gates = jnp.dot(xh, w_cat,
+                    preferred_element_type=jnp.float32) \
+                    + b.astype(jnp.float32)
                 i, f, g, o = jnp.split(gates, 4, axis=-1)
                 i, f, o = (jax.nn.sigmoid(i), jax.nn.sigmoid(f),
                     jax.nn.sigmoid(o))
