@@ -197,7 +197,7 @@ class LSTMWrapper(nn.Module):
         # (experimental time-major grid)
         kernel_kind = os.environ.get('PUFFER_LSTM_KERNEL', 'enc') \
             if use_pallas else None
-        fuse_enc = (kernel_kind in ('enc', 'enc2') and T > 1
+        fuse_enc = (kernel_kind in ('enc', 'enc2', 'enc3') and T > 1
             and self.num_layers == 1 and not self.is_initializing()
             and hasattr(self.policy, 'encoder_features')
             and hasattr(self.policy, 'encoder_params'))
@@ -278,6 +278,9 @@ class LSTMWrapper(nn.Module):
                     if kernel_kind == 'enc2':
                         from pufferlib_tpu.ops.pallas.lstm_enc2 import (
                             lstm_scan_enc2 as lstm_scan_enc)
+                    elif kernel_kind == 'enc3':
+                        from pufferlib_tpu.ops.pallas.lstm_enc3 import (
+                            lstm_scan_enc3 as lstm_scan_enc)
                     else:
                         from pufferlib_tpu.ops.pallas.lstm_enc import (
                             lstm_scan_enc)
@@ -289,7 +292,7 @@ class LSTMWrapper(nn.Module):
                     hs.append(h_fin)
                     cs.append(c_fin)
                     continue
-                elif kernel_kind in ('enc', 'enc2', 'cat'):
+                elif kernel_kind in ('enc', 'enc2', 'enc3', 'cat'):
                     from pufferlib_tpu.ops.pallas.lstm_cat import (
                         lstm_scan_cat)
                     outs, h_fin, c_fin = lstm_scan_cat(

@@ -101,18 +101,26 @@ def main():
         t = slope(run_k)
         print(f'{"lstm_scan_enc":32s} fwd+bwd {t*1e3:8.3f} ms')
         bench('lstm_scan_enc', lstm_scan_enc, eargs, grad=False)
-    if 'enc2' in want:
-        from pufferlib_tpu.ops.pallas.lstm_enc2 import lstm_scan_enc2
+    enc_variants = {'enc2': None, 'enc3': None}
+    for name in enc_variants:
+        if name not in want:
+            continue
+        if name == 'enc2':
+            from pufferlib_tpu.ops.pallas.lstm_enc2 import (
+                lstm_scan_enc2 as scan)
+        else:
+            from pufferlib_tpu.ops.pallas.lstm_enc3 import (
+                lstm_scan_enc3 as scan)
         F = 49
         feats = jax.random.normal(ks[6], (T, B, F), jnp.bfloat16)
         w_enc = jax.random.normal(ks[7], (F, D), jnp.float32) * 0.1
         b_enc = jnp.zeros((D,), jnp.float32)
         eargs = (feats, h0, c0, w_enc, b_enc, w_ih, w_hh, b)
 
-        def enc2_grad(*a):
-            outs, hT, cT = lstm_scan_enc2(*a)
+        def enc_v_grad(*a, _scan=scan):
+            outs, hT, cT = _scan(*a)
             return outs.astype(jnp.float32).sum() + hT.sum() + cT.sum()
-        f = jax.jit(jax.grad(enc2_grad, argnums=(3, 4, 5, 6, 7)))
+        f = jax.jit(jax.grad(enc_v_grad, argnums=(3, 4, 5, 6, 7)))
 
         def run_k(k):
             t0 = time.perf_counter()
@@ -121,8 +129,8 @@ def main():
             float(jax.tree.leaves(out)[0].ravel()[0])
             return time.perf_counter() - t0
         t = slope(run_k)
-        print(f'{"lstm_scan_enc2":32s} fwd+bwd {t*1e3:8.3f} ms')
-        bench('lstm_scan_enc2', lstm_scan_enc2, eargs, grad=False)
+        print(f'{"lstm_scan_" + name:32s} fwd+bwd {t*1e3:8.3f} ms')
+        bench('lstm_scan_' + name, scan, eargs, grad=False)
     if 'tc' in want:
         from pufferlib_tpu.ops.pallas.lstm_tc import lstm_scan_tc
         bench('lstm_scan_tc', lstm_scan_tc,
