@@ -185,19 +185,23 @@ class LSTMWrapper(nn.Module):
         if use_pallas is None:
             use_pallas = (jax.default_backend() == 'tpu' and T > 1
                 and B % 8 == 0)
-        # 'enc' (default: the 'cat' combined-operand cell — one [x|h]
-        # @ [W_ih;W_hh] gate matmul, ~75% of bf16 roofline — PLUS the
-        # policy's Dense+relu obs encoder fused in as a per-tile
-        # pre-pass: the encoder output, dx stream, and encoder
-        # backward never touch HBM/XLA; measured 17.7 -> 18.8M LSTM
-        # SPS. Needs the encoder_features/encoder_params contract —
-        # silently falls back to 'cat' when absent), 'cat' (combined
+        # 'enc5' (default): the encoder-fused combined-operand cell
+        # ('enc') with a restructured backward — gate recompute +
+        # activations run as one tall pre-pass matmul, dw/db/dx as
+        # tall post-loop matmuls over a dgates slab that shares the
+        # activation scratch, leaving only the dh chain in the reverse
+        # loop. Measured 18.7 -> 20.5M LSTM SPS in-trainer. Needs the
+        # encoder_features/encoder_params contract — silently falls
+        # back to 'cat' when absent. Variants: 'enc4' (hoisted grads,
+        # in-loop recompute), 'enc' (everything in-loop), 'enc2'/
+        # 'enc3' (slower hoists, kept for the record), 'cat' (combined
         # gate matmul, encoder outside), 'fused' (projection inside,
-        # separate gate matmuls), 'xp' (projection outside), or 'tm'
+        # separate gate matmuls), 'xp' (projection outside), 'tm'
         # (experimental time-major grid)
-        kernel_kind = os.environ.get('PUFFER_LSTM_KERNEL', 'enc') \
+        kernel_kind = os.environ.get('PUFFER_LSTM_KERNEL', 'enc5') \
             if use_pallas else None
-        fuse_enc = (kernel_kind in ('enc', 'enc2', 'enc3') and T > 1
+        fuse_enc = (kernel_kind in ('enc', 'enc2', 'enc3', 'enc4',
+            'enc5') and T > 1
             and self.num_layers == 1 and not self.is_initializing()
             and hasattr(self.policy, 'encoder_features')
             and hasattr(self.policy, 'encoder_params'))
@@ -281,6 +285,12 @@ class LSTMWrapper(nn.Module):
                     elif kernel_kind == 'enc3':
                         from pufferlib_tpu.ops.pallas.lstm_enc3 import (
                             lstm_scan_enc3 as lstm_scan_enc)
+                    elif kernel_kind == 'enc4':
+                        from pufferlib_tpu.ops.pallas.lstm_enc4 import (
+                            lstm_scan_enc4 as lstm_scan_enc)
+                    elif kernel_kind == 'enc5':
+                        from pufferlib_tpu.ops.pallas.lstm_enc5 import (
+                            lstm_scan_enc5 as lstm_scan_enc)
                     else:
                         from pufferlib_tpu.ops.pallas.lstm_enc import (
                             lstm_scan_enc)
@@ -292,7 +302,8 @@ class LSTMWrapper(nn.Module):
                     hs.append(h_fin)
                     cs.append(c_fin)
                     continue
-                elif kernel_kind in ('enc', 'enc2', 'enc3', 'cat'):
+                elif kernel_kind in ('enc', 'enc2', 'enc3', 'enc4',
+                        'enc5', 'cat'):
                     from pufferlib_tpu.ops.pallas.lstm_cat import (
                         lstm_scan_cat)
                     outs, h_fin, c_fin = lstm_scan_cat(

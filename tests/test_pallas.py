@@ -338,6 +338,98 @@ def test_pallas_lstm_enc3_matches_reference():
         assert jnp.allclose(a, bb, atol=5e-4), float(jnp.abs(a - bb).max())
 
 
+def test_pallas_lstm_enc5_matches_reference():
+    """Batched-recompute + hoisted-grads variant (lstm_scan_enc5): the
+    acts and dgates share one scratch slab; pre/post tall matmuls do
+    all non-recurrent work. Numerics must match the pure-JAX
+    reference."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from pufferlib_tpu.ops.pallas.lstm_enc import lstm_scan_enc_reference
+    from pufferlib_tpu.ops.pallas.lstm_enc5 import lstm_scan_enc5
+
+    T, B, F, D, H = 3, 16, 49, 96, 128
+    k = jax.random.split(jax.random.PRNGKey(13), 8)
+    feats = jax.random.normal(k[0], (T, B, F), jnp.float32) * 0.5
+    h0 = jax.random.normal(k[1], (B, H), jnp.float32) * 0.1
+    c0 = jax.random.normal(k[2], (B, H), jnp.float32) * 0.1
+    we = jax.random.normal(k[3], (F, D), jnp.float32) * 0.1
+    be = jax.random.normal(k[4], (D,), jnp.float32) * 0.1
+    wih = jax.random.normal(k[5], (D, 4 * H), jnp.float32) * 0.1
+    whh = jax.random.normal(k[6], (H, 4 * H), jnp.float32) * 0.1
+    b = jax.random.normal(k[7], (4 * H,), jnp.float32) * 0.1
+    args = (feats, h0, c0, we, be, wih, whh, b)
+
+    with pltpu.force_tpu_interpret_mode():
+        outs_p, hT_p, cT_p = lstm_scan_enc5(*args, jnp.float32)
+    outs_r, hT_r, cT_r = lstm_scan_enc_reference(*args, jnp.float32)
+    assert jnp.allclose(outs_p, outs_r, atol=1e-5)
+    assert jnp.allclose(hT_p, hT_r, atol=1e-5)
+    assert jnp.allclose(cT_p, cT_r, atol=1e-5)
+
+    def loss(fn):
+        def f(*a):
+            o, h, c = fn(*a, jnp.float32)
+            return jnp.sum(o ** 2) + jnp.sum(h * c) + jnp.sum(o * 0.3)
+        return f
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss(lstm_scan_enc5),
+            argnums=(1, 2, 3, 4, 5, 6, 7))(*args)
+    gr = jax.grad(loss(lstm_scan_enc_reference),
+        argnums=(1, 2, 3, 4, 5, 6, 7))(*args)
+    for a, bb in zip(gp, gr):
+        assert a.shape == bb.shape
+        assert jnp.allclose(a, bb, atol=5e-4), float(jnp.abs(a - bb).max())
+
+
+def test_pallas_lstm_enc4_matches_reference():
+    """Hoisted weight-grad variant (lstm_scan_enc4): the reverse loop
+    keeps only the gate recompute and the dh chain; dw/db/dx and the
+    encoder backward run as tall post-loop matmuls over the stored
+    dgates slab. Numerics must match the pure-JAX reference."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from pufferlib_tpu.ops.pallas.lstm_enc import lstm_scan_enc_reference
+    from pufferlib_tpu.ops.pallas.lstm_enc4 import lstm_scan_enc4
+
+    T, B, F, D, H = 3, 16, 49, 96, 128
+    k = jax.random.split(jax.random.PRNGKey(11), 8)
+    feats = jax.random.normal(k[0], (T, B, F), jnp.float32) * 0.5
+    h0 = jax.random.normal(k[1], (B, H), jnp.float32) * 0.1
+    c0 = jax.random.normal(k[2], (B, H), jnp.float32) * 0.1
+    we = jax.random.normal(k[3], (F, D), jnp.float32) * 0.1
+    be = jax.random.normal(k[4], (D,), jnp.float32) * 0.1
+    wih = jax.random.normal(k[5], (D, 4 * H), jnp.float32) * 0.1
+    whh = jax.random.normal(k[6], (H, 4 * H), jnp.float32) * 0.1
+    b = jax.random.normal(k[7], (4 * H,), jnp.float32) * 0.1
+    args = (feats, h0, c0, we, be, wih, whh, b)
+
+    with pltpu.force_tpu_interpret_mode():
+        outs_p, hT_p, cT_p = lstm_scan_enc4(*args, jnp.float32)
+    outs_r, hT_r, cT_r = lstm_scan_enc_reference(*args, jnp.float32)
+    assert jnp.allclose(outs_p, outs_r, atol=1e-5)
+    assert jnp.allclose(hT_p, hT_r, atol=1e-5)
+    assert jnp.allclose(cT_p, cT_r, atol=1e-5)
+
+    def loss(fn):
+        def f(*a):
+            o, h, c = fn(*a, jnp.float32)
+            return jnp.sum(o ** 2) + jnp.sum(h * c) + jnp.sum(o * 0.3)
+        return f
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss(lstm_scan_enc4),
+            argnums=(1, 2, 3, 4, 5, 6, 7))(*args)
+    gr = jax.grad(loss(lstm_scan_enc_reference),
+        argnums=(1, 2, 3, 4, 5, 6, 7))(*args)
+    for a, bb in zip(gp, gr):
+        assert a.shape == bb.shape
+        assert jnp.allclose(a, bb, atol=5e-4), float(jnp.abs(a - bb).max())
+
+
 def test_lstm_wrapper_enc_kernel_matches_plain(monkeypatch):
     """LSTMWrapper with PUFFER_LSTM_KERNEL=enc (the default: encoder
     fused into the kernel via the encoder_features/encoder_params

@@ -101,16 +101,19 @@ def main():
         t = slope(run_k)
         print(f'{"lstm_scan_enc":32s} fwd+bwd {t*1e3:8.3f} ms')
         bench('lstm_scan_enc', lstm_scan_enc, eargs, grad=False)
-    enc_variants = {'enc2': None, 'enc3': None}
+    enc_variants = ('enc2', 'enc3', 'enc4')
     for name in enc_variants:
         if name not in want:
             continue
         if name == 'enc2':
             from pufferlib_tpu.ops.pallas.lstm_enc2 import (
                 lstm_scan_enc2 as scan)
-        else:
+        elif name == 'enc3':
             from pufferlib_tpu.ops.pallas.lstm_enc3 import (
                 lstm_scan_enc3 as scan)
+        else:
+            from pufferlib_tpu.ops.pallas.lstm_enc4 import (
+                lstm_scan_enc4 as scan)
         F = 49
         feats = jax.random.normal(ks[6], (T, B, F), jnp.bfloat16)
         w_enc = jax.random.normal(ks[7], (F, D), jnp.float32) * 0.1
