@@ -37,6 +37,9 @@ class Profile:
 
     def __init__(self):
         self.start = time.time()
+        # minimum seconds between metric refreshes; callers may lower
+        # it (tests set 0.0 to materialize metrics every step)
+        self.interval = 1.0
         self.env = Profiler()
         self.eval_forward = Profiler()
         self.eval_misc = Profiler()
@@ -62,10 +65,12 @@ class Profile:
     def epoch_time(self):
         return self.train_time + self.eval_time
 
-    def update(self, data, interval_s=1):
+    def update(self, data, interval_s=None):
         global_step = data.global_step
         if global_step == 0:
             return True
+        if interval_s is None:
+            interval_s = self.interval
 
         uptime = time.time() - self.start
         if uptime - self.uptime < interval_s:

@@ -16,6 +16,12 @@ import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
 
+# persistent compilation cache: the suite compiles dozens of fused
+# trainer programs; repeat runs (CI, driver re-runs on this box) hit
+# the cache instead of recompiling. First cold run is unaffected.
+jax.config.update('jax_compilation_cache_dir', '/tmp/puffer_jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
 import pytest  # noqa: E402
 
 

@@ -83,6 +83,7 @@ def test_policy_pool_routes_by_policy_map():
         True, False, True, False, True, False]
 
 
+@pytest.mark.slow
 def test_mock_env_suite_roundtrip():
     """Every mock obs space flows through the Device engine and
     nativizes back to the original structure."""

@@ -99,6 +99,7 @@ def test_loss_metric_names():
         assert k in data.losses
 
 
+@pytest.mark.slow
 def test_spaces_env_trains_fused():
     """Dict obs (mixed dtype -> byte emulation) + Dict action
     (-> MultiDiscrete) through the full fused trainer — the end-to-end
@@ -130,6 +131,7 @@ def test_spaces_env_trains_fused():
     assert score is not None and score > 0.8, score
 
 
+@pytest.mark.slow
 def test_conv_policy_trains_fused():
     """NatureCNN on image observations through the fused trainer
     (device-side stand-in for the Atari path)."""
@@ -302,6 +304,7 @@ def make_lstm_data(num_envs=16, batch_size=512, minibatch_size=128,
     return ppo.create(config, vecenv, policy)
 
 
+@pytest.mark.slow
 def test_lstm_time_slab_minibatches_train():
     """Time-slab geometry (T=32, h=8, M=4): fused step trains with the
     transpose-free path; the flag-off path also trains; both produce

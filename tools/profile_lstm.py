@@ -1,11 +1,18 @@
 """Op-level profile of the fused LSTM PPO step at bench shapes.
 
 Captures a jax.profiler device trace of `ppo.step_fn` (the program
-bench.py times for ocean_squared_ppo_lstm_sps), parses the Chrome
-trace events from the TPU device track, and aggregates op wall time
-into categories (pallas custom-calls, matmul fusions, elementwise,
-data formatting, reduces). This is the measurement loop behind
-docs/PERF.md's "Op-level profile" section.
+bench.py times for ocean_squared_ppo_lstm_sps) and renders the xprof
+op_profile tree: per-op FRACTIONS of the program plus absolute ms/step
+scaled from an honest wall-clock measurement of the same step.
+
+Why not the Chrome trace events: on this runtime the "XLA Ops" track
+rolls whole while-loops into single rows, hides pallas custom-calls
+inside them, and inflates absolute durations ~2.7x under capture — a
+parse of those rows misattributed the kernels entirely (it showed
+pallas 0%% when xprof's own op_profile put the backward kernel at 56%%
+of the step). The xplane.pb -> xprof `op_profile` conversion is the
+ground truth; absolute times come from timing the step WITHOUT the
+profiler attached. The legacy trace parse remains as --raw-trace.
 
 Usage: python tools/profile_lstm.py [num_envs] [horizon] [--mlp]
 """
@@ -99,6 +106,39 @@ def parse_trace(logdir):
     return by_name, path
 
 
+def op_profile_rows(logdir):
+    """xprof op_profile tree: [(rawTime, name, depth)] sorted by time,
+    row 0 = the whole program. Returns None if no xplane.pb exists or
+    xprof is unavailable."""
+    paths = glob.glob(os.path.join(
+        logdir, 'plugins/profile/*/*.xplane.pb'))
+    if not paths:
+        return None
+    try:
+        from xprof.convert import raw_to_tool_data as rtd
+    except ImportError:
+        return None
+    data, _ = rtd.xspace_to_tool_data(
+        [max(paths, key=os.path.getmtime)], 'op_profile', {})
+    prof = json.loads(data)
+    root = prof.get('byProgram') or prof.get('byCategory') or {}
+    rows = []
+
+    def walk(node, depth):
+        t = node.get('metrics', {}).get('rawTime', 0)
+        rows.append((t, node.get('name', '?'), depth))
+        for ch in node.get('children', []):
+            walk(ch, depth + 1)
+
+    walk(root, 0)
+    # drop the synthetic by_program wrapper, keep the program root
+    if rows and rows[0][1] == 'by_program' and len(rows) > 1:
+        rows = rows[1:]
+        rows = [(t, n, d - 1) for t, n, d in rows]
+    rows.sort(key=lambda r: -r[0])
+    return rows
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith('--')]
     num_envs = int(args[0]) if args else 8192
@@ -124,23 +164,46 @@ def main():
             stats = step()
         float(stats['policy_loss'])
 
-    out = parse_trace(logdir)
-    if out is None:
-        print('no trace captured (device tracks unavailable?)')
+    # honest absolute time: the profiler inflates device rows; time the
+    # same step without it (large K, one fetch — tunnel RTT amortizes)
+    K = 40
+    t0 = time.time()
+    for _ in range(K):
+        stats = step()
+    float(stats['policy_loss'])
+    step_ms = (time.time() - t0) / K * 1e3
+    print(f'# step wall time (unprofiled): {step_ms:.2f} ms')
+
+    if '--raw-trace' in sys.argv:
+        out = parse_trace(logdir)
+        if out is None:
+            print('no trace captured (device tracks unavailable?)')
+            return
+        by_name, path = out
+        print(f'# trace: {path}')
+        by_cat = defaultdict(float)
+        for name, dur in by_name.items():
+            by_cat[classify(name)] += dur
+        total = sum(by_cat.values())
+        print(f'{"category":14s} {"ms/step":>9s} {"%":>6s}')
+        for cat, dur in sorted(by_cat.items(), key=lambda kv: -kv[1]):
+            print(f'{cat:14s} {dur/1e3/reps:9.2f} {100*dur/total:6.1f}')
+        print(f'{"TOTAL":14s} {total/1e3/reps:9.2f}')
         return
-    by_name, path = out
-    print(f'# trace: {path}')
-    by_cat = defaultdict(float)
-    for name, dur in by_name.items():
-        by_cat[classify(name)] += dur
-    total = sum(by_cat.values())
-    print(f'{"category":14s} {"ms/step":>9s} {"%":>6s}')
-    for cat, dur in sorted(by_cat.items(), key=lambda kv: -kv[1]):
-        print(f'{cat:14s} {dur/1e3/reps:9.2f} {100*dur/total:6.1f}')
-    print(f'{"TOTAL":14s} {total/1e3/reps:9.2f}')
-    print('\n# top 25 ops')
-    for name, dur in sorted(by_name.items(), key=lambda kv: -kv[1])[:25]:
-        print(f'{dur/1e3/reps:9.3f} ms  {classify(name):12s} {name[:110]}')
+
+    rows = op_profile_rows(logdir)
+    if rows is None:
+        print('no xplane captured; rerun with --raw-trace for the '
+            'legacy parse')
+        return
+    total = rows[0][0] or 1.0
+    print(f'# xprof op_profile (fractions of program; ms scaled to '
+        f'step wall time)')
+    print(f'{"ms/step":>8s} {"%":>6s}  op')
+    for t, name, depth in rows[:30]:
+        frac = t / total
+        print(f'{frac * step_ms:8.3f} {100 * frac:6.1f}  '
+            f'{"  " * depth}{name[:90]}')
 
 
 if __name__ == '__main__':
