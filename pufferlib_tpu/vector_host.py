@@ -345,6 +345,14 @@ class HostMultiprocessing:
         import os as _os
         oversubscribed = num_workers + 1 > (_os.cpu_count() or 1)
         self._spin_us = 0 if oversubscribed else 500_000
+        # steady-state watchdog (seconds); the FIRST wait covers worker
+        # spawn + module import, which under heavy host load (e.g. a
+        # parallel test suite compiling XLA programs) can far exceed the
+        # steady-state budget — give it a generous one-time allowance
+        self._timeout_s = float(_os.environ.get('PUFFER_HOST_TIMEOUT_S', 30))
+        self._first_timeout_s = max(self._timeout_s, float(
+            _os.environ.get('PUFFER_HOST_FIRST_TIMEOUT_S', 300)))
+        self._first_contact = False
 
         self.processes = []
         self.send_pipes = []
@@ -452,18 +460,24 @@ class HostMultiprocessing:
 
     def _wait(self, candidates):
         """First workers_per_batch ready workers among `candidates`."""
+        timeout_s = self._timeout_s if self._first_contact \
+            else self._first_timeout_s
         if self._lib is not None:
-            # C++ spin (GIL released) with a 30 s watchdog
+            # C++ spin (GIL released) with a watchdog
             try:
                 ready = self._native.wait_ready(self._lib, self.sem,
                     np.asarray(candidates, dtype=np.int32),
-                    self.workers_per_batch, timeout_us=30_000_000,
+                    self.workers_per_batch,
+                    timeout_us=int(timeout_s * 1e6),
                     spin_us=self._spin_us)
             except TimeoutError:
                 self._check_alive()
                 raise
+            self._first_contact = True
             return ready.tolist()
-        return self._wait_ready_python(candidates)
+        ready = self._wait_ready_python(candidates)
+        self._first_contact = True
+        return ready
 
     def _gather(self, ready, copy):
         infos = self._drain_infos(ready)
