@@ -24,6 +24,51 @@ def make_mesh(n_devices=None, axis='env', devices=None):
     return Mesh(np.asarray(devices), (axis,))
 
 
+def make_mesh_2d(n_env, n_model, axes=('env', 'model'), devices=None):
+    """2-D mesh: env/data parallelism on one axis, tensor (model)
+    parallelism on the other. The reference has no model parallelism at
+    all (SURVEY.md §2.4 — single-device learner); on TPU it is a mesh
+    axis + param shardings, with GSPMD inserting the activation
+    collectives. Keep the model axis on the minor (fastest, ICI-nearest)
+    devices — its collectives are per-matmul."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[:n_env * n_model]).reshape(
+        n_env, n_model)
+    return Mesh(devices, axes)
+
+
+def param_shardings(mesh, tree, axis='model'):
+    """Tensor-parallel sharding pytree for a param (or optimizer-state)
+    tree. Shape-rule based, so the same function specs optax states
+    (mu/nu mirror param shapes; scalars replicate):
+
+    - ndim >= 2 leaves: shard the last dim over `axis` when divisible
+      (column-parallel); else the first dim (row-parallel — GSPMD
+      inserts the psum); else replicate.
+    - 1-D/0-D leaves (biases, counts): replicated — cheap, and GSPMD
+      reshards the add against the sharded activations.
+
+    If the mesh has no `axis` axis, everything replicates (pure DP).
+    """
+    if axis not in mesh.axis_names or mesh.shape[axis] == 1:
+        repl = NamedSharding(mesh, P())
+        return jax.tree.map(lambda _: repl, tree)
+    k = mesh.shape[axis]
+
+    def spec(x):
+        shape = getattr(x, 'shape', ())
+        if len(shape) >= 2:
+            parts = [None] * len(shape)
+            if shape[-1] % k == 0 and shape[-1] >= k:
+                parts[-1] = axis
+            elif shape[0] % k == 0 and shape[0] >= k:
+                parts[0] = axis
+            return NamedSharding(mesh, P(*parts))
+        return NamedSharding(mesh, P())
+    return jax.tree.map(spec, tree)
+
+
 def replicated(mesh):
     return NamedSharding(mesh, P())
 

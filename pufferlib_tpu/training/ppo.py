@@ -268,31 +268,38 @@ def create(config, vecenv, policy, wandb=None, mesh=None):
             static_argnums=(3,))
     else:
         from pufferlib_tpu.parallel import (
-            carry_shardings, batch_shardings, replicated)
+            carry_shardings, batch_shardings, param_shardings, replicated)
         repl = replicated(mesh)
         c_shard = carry_shardings(mesh, carry)
+        # tensor parallelism: on a mesh with a 'model' axis the param
+        # (and optimizer-state) hidden dims shard over it; GSPMD inserts
+        # the activation collectives. Pure-DP (1-D) meshes get the
+        # replicated tree back. NOTE: model sharding requires the XLA
+        # (non-Pallas) LSTM path — set LSTMWrapper(use_pallas=False).
+        p_shard = param_shardings(mesh, params)
+        o_shard = param_shardings(mesh, opt_state)
         # discover the batch structure without running anything
         _, batch_shape, _, _ = jax.eval_shape(rollout_raw, params, carry)
         b_shard = batch_shardings(mesh, recurrent)(batch_shape)
         rollout_fn = jax.jit(rollout_raw,
-            in_shardings=(repl, c_shard),
+            in_shardings=(p_shard, c_shard),
             out_shardings=(c_shard, b_shard, repl, repl),
             donate_argnums=(1,))
         update_fn = jax.jit(update_raw,
-            in_shardings=(repl, repl, b_shard, repl, repl),
-            out_shardings=(repl, repl, repl),
+            in_shardings=(p_shard, o_shard, b_shard, repl, repl),
+            out_shardings=(p_shard, o_shard, repl),
             donate_argnums=(0, 1))
         step_fn = jax.jit(step_raw,
-            in_shardings=(repl, repl, c_shard),
-            out_shardings=(repl, repl, c_shard, repl, repl, repl),
+            in_shardings=(p_shard, o_shard, c_shard),
+            out_shardings=(p_shard, o_shard, c_shard, repl, repl, repl),
             donate_argnums=(0, 1, 2))
         multi_step_fn = jax.jit(multi_step_raw,
-            in_shardings=(repl, repl, c_shard),
-            out_shardings=(repl, repl, c_shard, repl, repl, repl),
+            in_shardings=(p_shard, o_shard, c_shard),
+            out_shardings=(p_shard, o_shard, c_shard, repl, repl, repl),
             donate_argnums=(0, 1, 2), static_argnums=(3,))
         # place state per the shardings
-        params = jax.device_put(params, repl)
-        opt_state = jax.device_put(opt_state, repl)
+        params = jax.device_put(params, p_shard)
+        opt_state = jax.device_put(opt_state, o_shard)
         carry = jax.device_put(carry, c_shard)
 
     msg = f'Model Size: {count_params(params)} parameters'

@@ -88,3 +88,49 @@ def test_host_sharded_batch_single_process():
     assert arr['obs'].shape == (n * 4, 3)
     assert len(arr['obs'].sharding.device_set) == n
     assert np.allclose(np.asarray(arr['obs']), local['obs'])
+
+
+def test_tensor_parallel_2d_mesh():
+    """2-D (env x model) mesh: param hidden dims shard over the model
+    axis (the reference has NO model parallelism — SURVEY.md 2.4; this
+    is TPU-native headroom for large policies). Training must run, and
+    the kernels must actually be laid out across the model axis."""
+    from pufferlib_tpu.parallel import make_mesh_2d
+
+    mesh = make_mesh_2d(4, 2)
+    data = make_data(mesh=mesh, seed=5)
+    ppo.evaluate(data)
+    ppo.train(data)
+    assert np.isfinite(data.losses.policy_loss)
+    # at least one 2-D kernel is genuinely split over the model axis:
+    # its per-device shard is smaller than the full leaf
+    split = [
+        p for p in jax.tree.leaves(data.params)
+        if p.ndim >= 2 and any(
+            s.data.shape != p.shape for s in p.addressable_shards)
+    ]
+    assert split, 'no param leaf sharded over the model axis'
+    # env lanes still sharded over the env axis
+    leaf = jax.tree.leaves(data.carry['env'])[0]
+    assert len(leaf.sharding.device_set) >= 4
+
+
+def test_tensor_parallel_matches_replicated():
+    """TP must compute the same algorithm: losses after one
+    evaluate+train agree with the pure-DP (replicated-param) run up to
+    reduction-order rounding."""
+    from pufferlib_tpu.parallel import make_mesh_2d
+    mesh2 = make_mesh_2d(2, 4)
+    d_tp = make_data(mesh=mesh2, seed=17)
+    d_dp = make_data(mesh=make_mesh(8), seed=17)
+    ppo.evaluate(d_tp)
+    ppo.evaluate(d_dp)
+    ppo.train(d_tp)
+    ppo.train(d_dp)
+    assert np.isfinite(d_tp.losses.policy_loss)
+    assert np.allclose(d_tp.losses.policy_loss, d_dp.losses.policy_loss,
+        rtol=1e-3, atol=1e-4)
+    for a, b in zip(jax.tree.leaves(d_tp.params),
+            jax.tree.leaves(d_dp.params)):
+        assert np.allclose(np.asarray(a), np.asarray(b),
+            rtol=1e-3, atol=1e-4)
