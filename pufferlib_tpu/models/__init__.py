@@ -253,8 +253,10 @@ class LSTMWrapper(nn.Module):
                 # dispatch instead of two; the weight concat is
                 # loop-invariant, XLA hoists it out of the rollout
                 # scan) — same rationale as the cat/enc kernels.
+                # layer_in is (1, B, in) time-major, (B, 1, in) otherwise
+                x_step = layer_in[0] if time_major else layer_in[:, 0]
                 xh = jnp.concatenate(
-                    [layer_in[:, 0].astype(cdt),
+                    [x_step.astype(cdt),
                         h0[layer].astype(cdt)], axis=-1)
                 w_cat = jnp.concatenate(
                     [w_ih, w_hh], axis=0).astype(cdt)
@@ -267,7 +269,7 @@ class LSTMWrapper(nn.Module):
                 g = jnp.tanh(g)
                 c_fin = f * c0[layer] + i * g
                 h_fin = o * jnp.tanh(c_fin)
-                layer_in = h_fin[:, None, :]
+                layer_in = h_fin[None] if time_major else h_fin[:, None, :]
                 hs.append(h_fin)
                 cs.append(c_fin)
                 continue
@@ -295,6 +297,13 @@ class LSTMWrapper(nn.Module):
                         from pufferlib_tpu.ops.pallas.lstm_enc import (
                             lstm_scan_enc)
                     w_enc, b_enc = self.policy.encoder_params()
+                    # same contract the non-fused branch asserts on
+                    # encode_observations' output: the encoder must
+                    # produce input_size features for w_ih
+                    assert w_enc.shape[-1] == self.input_size, (
+                        f'policy encoder emits {w_enc.shape[-1]} '
+                        f'features but LSTMWrapper.input_size='
+                        f'{self.input_size}')
                     outs, h_fin, c_fin = lstm_scan_enc(
                         to_tm(layer_in).astype(cdt), h0[layer],
                         c0[layer], w_enc, b_enc, w_ih, w_hh, b, cdt)

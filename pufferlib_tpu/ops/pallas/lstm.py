@@ -165,11 +165,16 @@ def _tile_budget(B, var, block_bytes_fn):
     import os
     override = os.environ.get(var)
     if override:
-        return _tile(B, int(override))
-    for bt in (512, 256, 128, 64, 32, 16, 8):
-        if B % bt == 0 and 2 * block_bytes_fn(bt) <= _VMEM_BUDGET:
-            return bt
-    return _tile(B, 8)
+        bt = _tile(B, int(override))
+    else:
+        bt = next((t for t in (512, 256, 128, 64, 32, 16, 8)
+            if B % t == 0 and 2 * block_bytes_fn(t) <= _VMEM_BUDGET),
+            None) or _tile(B, 8)
+    # fail HERE with the real cause, not with `B // None` in a caller
+    assert bt is not None, (
+        f'batch {B} not tileable (must be divisible by 8); '
+        'the Pallas LSTM kernels need B % 8 == 0')
+    return bt
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))

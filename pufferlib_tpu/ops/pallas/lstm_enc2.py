@@ -256,7 +256,8 @@ def _bwd(cdt, residuals, grads):
         seqs = T * bt * (_lanes(F) * fb + 3 * H * rb)
         weights = 2 * (F * D + (D + H + 1) * 4 * H) * 4
         states = 8 * bt * H * 4
-        scratch = T * bt * (D + 8 * H + 4 * H) * rb
+        # scratch_shapes below: (T*bt, D) + two (T*bt, 4H) slabs
+        scratch = T * bt * (D + 8 * H) * rb
         return seqs + weights + states + scratch
 
     bt = _tile_budget(B, 'PUFFER_LSTM_TILE_BWD', bwd_bytes)

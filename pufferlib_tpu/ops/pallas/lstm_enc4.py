@@ -147,7 +147,11 @@ def _fwd(feats, h0, c0, w_enc, b_enc, w_ih, w_hh, b, cdt):
         b, outs, cseq)
 
 
-def _bwd(cdt, residuals, grads):
+def _hoisted_bwd(kernel_body, cdt, residuals, grads):
+    """Shared pallas_call driver for the hoisted-grad backward family
+    (enc4, enc5): both kernels take the same refs and two scratch slabs
+    — (T*bt, D) encoded-x plus one (T*bt, 4H) slab (dgates for enc4;
+    acts-then-dgates for enc5) — so the spec/shape block lives once."""
     feats, h0, c0, w_enc, b_enc, w_ih, w_hh, b, outs, cseq = residuals
     g_outs, g_hT, g_cT = grads
     T, B, F = feats.shape
@@ -175,7 +179,7 @@ def _bwd(cdt, residuals, grads):
     seq_h = pl.BlockSpec((T, bt, H), lambda i: (0, i, 0),
         memory_space=vm)
     state_spec = pl.BlockSpec((bt, H), lambda i: (i, 0), memory_space=vm)
-    kernel = functools.partial(_bwd_kernel, T=T, cdt=cdt)
+    kernel = functools.partial(kernel_body, T=T, cdt=cdt)
     dh0, dc0, dwe, dbe, dw, db = pl.pallas_call(
         kernel, grid=grid, compiler_params=_compiler_params(),
         scratch_shapes=[pltpu.VMEM((T * bt, D), rdt),
@@ -214,6 +218,10 @@ def _bwd(cdt, residuals, grads):
         dwe.astype(w_enc.dtype), dbe.reshape(D).astype(b_enc.dtype),
         dw[:D].astype(w_ih.dtype), dw[D:].astype(w_hh.dtype),
         db.reshape(4 * H).astype(b.dtype))
+
+
+def _bwd(cdt, residuals, grads):
+    return _hoisted_bwd(_bwd_kernel, cdt, residuals, grads)
 
 
 lstm_scan_enc4.defvjp(_fwd, _bwd)

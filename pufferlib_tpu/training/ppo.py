@@ -274,8 +274,16 @@ def create(config, vecenv, policy, wandb=None, mesh=None):
         # tensor parallelism: on a mesh with a 'model' axis the param
         # (and optimizer-state) hidden dims shard over it; GSPMD inserts
         # the activation collectives. Pure-DP (1-D) meshes get the
-        # replicated tree back. NOTE: model sharding requires the XLA
-        # (non-Pallas) LSTM path — set LSTMWrapper(use_pallas=False).
+        # replicated tree back. Model sharding requires the XLA
+        # (non-Pallas) LSTM path: GSPMD cannot partition a pallas_call
+        # whose operands are sharded — enforce it here, where the user
+        # can fix the constructor, not deep inside update compilation.
+        if dict(mesh.shape).get('model', 1) > 1 and recurrent \
+                and getattr(policy.module, 'use_pallas', False) is not False:
+            raise APIUsageError(
+                "a mesh with a 'model' axis (tensor parallelism) requires "
+                'LSTMWrapper(use_pallas=False); the auto/True Pallas LSTM '
+                'kernels cannot be partitioned by GSPMD')
         p_shard = param_shardings(mesh, params)
         o_shard = param_shardings(mesh, opt_state)
         # discover the batch structure without running anything

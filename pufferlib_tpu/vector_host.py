@@ -345,14 +345,16 @@ class HostMultiprocessing:
         import os as _os
         oversubscribed = num_workers + 1 > (_os.cpu_count() or 1)
         self._spin_us = 0 if oversubscribed else 500_000
-        # steady-state watchdog (seconds); the FIRST wait covers worker
-        # spawn + module import, which under heavy host load (e.g. a
+        # steady-state watchdog (seconds); a worker's FIRST wait covers
+        # its spawn + module import, which under heavy host load (e.g. a
         # parallel test suite compiling XLA programs) can far exceed the
-        # steady-state budget — give it a generous one-time allowance
+        # steady-state budget — give it a generous one-time allowance,
+        # tracked PER WORKER: with batch < num_envs the first ready
+        # batch only proves the fastest workers imported
         self._timeout_s = float(_os.environ.get('PUFFER_HOST_TIMEOUT_S', 30))
         self._first_timeout_s = max(self._timeout_s, float(
             _os.environ.get('PUFFER_HOST_FIRST_TIMEOUT_S', 300)))
-        self._first_contact = False
+        self._contacted = set()
 
         self.processes = []
         self.send_pipes = []
@@ -460,8 +462,8 @@ class HostMultiprocessing:
 
     def _wait(self, candidates):
         """First workers_per_batch ready workers among `candidates`."""
-        timeout_s = self._timeout_s if self._first_contact \
-            else self._first_timeout_s
+        timeout_s = self._timeout_s if \
+            self._contacted.issuperset(candidates) else self._first_timeout_s
         if self._lib is not None:
             # C++ spin (GIL released) with a watchdog
             try:
@@ -473,10 +475,11 @@ class HostMultiprocessing:
             except TimeoutError:
                 self._check_alive()
                 raise
-            self._first_contact = True
-            return ready.tolist()
+            ready = ready.tolist()
+            self._contacted.update(ready)
+            return ready
         ready = self._wait_ready_python(candidates)
-        self._first_contact = True
+        self._contacted.update(ready)
         return ready
 
     def _gather(self, ready, copy):

@@ -62,6 +62,12 @@ def main():
     b = jax.random.normal(ks[5], (4 * H,), jnp.float32) * 0.05
 
     want = sys.argv[1:] or ['fused', 'fused-fwd']
+    known = {'fused', 'fused-fwd', 'cat', 'enc', 'enc2', 'enc3',
+        'enc4', 'enc5', 'tc'}
+    unknown = [v for v in want if v not in known]
+    if unknown:
+        sys.exit(f'unknown variant(s) {unknown}; choose from '
+            f'{sorted(known)}')
 
     from pufferlib_tpu.ops.pallas.lstm import lstm_scan_fused
 
@@ -101,7 +107,7 @@ def main():
         t = slope(run_k)
         print(f'{"lstm_scan_enc":32s} fwd+bwd {t*1e3:8.3f} ms')
         bench('lstm_scan_enc', lstm_scan_enc, eargs, grad=False)
-    enc_variants = ('enc2', 'enc3', 'enc4')
+    enc_variants = ('enc2', 'enc3', 'enc4', 'enc5')
     for name in enc_variants:
         if name not in want:
             continue
@@ -111,9 +117,12 @@ def main():
         elif name == 'enc3':
             from pufferlib_tpu.ops.pallas.lstm_enc3 import (
                 lstm_scan_enc3 as scan)
-        else:
+        elif name == 'enc4':
             from pufferlib_tpu.ops.pallas.lstm_enc4 import (
                 lstm_scan_enc4 as scan)
+        else:
+            from pufferlib_tpu.ops.pallas.lstm_enc5 import (
+                lstm_scan_enc5 as scan)
         F = 49
         feats = jax.random.normal(ks[6], (T, B, F), jnp.bfloat16)
         w_enc = jax.random.normal(ks[7], (F, D), jnp.float32) * 0.1
