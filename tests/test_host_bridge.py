@@ -127,6 +127,39 @@ def test_host_multiprocessing_matches_serial():
     mp.close()
 
 
+def test_first_contact_allowance_is_per_worker():
+    """The generous spawn/import watchdog budget applies to each
+    worker's FIRST wait: with batch < num_envs the fastest workers
+    finishing import must not revoke the allowance for stragglers."""
+    vec = vector_host.HostMultiprocessing.__new__(
+        vector_host.HostMultiprocessing)
+    vec._timeout_s = 30.0
+    vec._first_timeout_s = 300.0
+    vec._contacted = set()
+    vec._spin_us = 0
+    vec.workers_per_batch = 2
+    vec.num_workers = 4
+    vec.processes = []
+
+    timeouts = []
+
+    class FakeNative:
+        @staticmethod
+        def wait_ready(lib, sem, cands, k, timeout_us, spin_us):
+            timeouts.append(timeout_us)
+            return np.asarray(cands[:k])
+
+    vec._lib = object()
+    vec._native = FakeNative
+    vec.sem = [0, 0, 0, 0]
+    assert vec._wait([0, 1]) == [0, 1]   # first contact for 0,1
+    vec._wait([0, 1])                    # steady state for 0,1
+    vec._wait([2, 3])                    # 2,3 still get the allowance
+    vec._wait([2, 3])
+    assert timeouts == [int(300e6), int(30e6), int(300e6), int(30e6)]
+    assert vec._contacted == {0, 1, 2, 3}
+
+
 def test_host_ray_gated():
     """HostRay mirrors the reference Ray backend (vector.py:449-574);
     without ray installed it must raise a clear ImportError."""

@@ -330,6 +330,38 @@ def test_lstm_slab_inactive_when_geometry_mismatch():
     assert np.isfinite(data.losses.policy_loss)
 
 
+def test_lstm_bptt_horizon_one_trains():
+    """bptt_horizon=1 hits the LSTMWrapper T==1 fast path through the
+    time-major minibatch layout; regression for a trace-time crash
+    (the cell indexed the batch axis as time on time-major input)."""
+    data = make_lstm_data(bptt=1, minibatch_size=128, seed=13,
+        exp_id='bptt1')
+    ppo.step(data)
+    assert np.isfinite(data.losses.policy_loss)
+
+
+def test_model_axis_requires_non_pallas_lstm():
+    """A 'model' mesh axis with a Pallas-capable LSTMWrapper must fail
+    fast at create() with APIUsageError, not deep inside GSPMD."""
+    from pufferlib_tpu.exceptions import APIUsageError
+    from pufferlib_tpu.models import LSTMWrapper, RecurrentPolicy
+    from pufferlib_tpu.parallel import make_mesh_2d
+
+    creator = env_creator('memory')
+    vecenv = vector.make(creator, backend=vector.Device, num_envs=16)
+    obs_shape = vecenv.single_observation_space.shape
+    module = Default(obs_shape=obs_shape,
+        action_space=vecenv.single_action_space, hidden_size=32)
+    policy = RecurrentPolicy(LSTMWrapper(policy=module,
+        obs_shape=obs_shape, input_size=32, hidden_size=32))
+    config = ppo.default_config(env='memory', batch_size=512,
+        minibatch_size=128, bptt_horizon=8, total_timesteps=2048,
+        verbose=False, data_dir='/tmp/puffer_tpu_test')
+    with pytest.raises(APIUsageError, match='use_pallas'):
+        ppo.create(config, vecenv, policy, mesh=make_mesh_2d(4, 2))
+    vecenv.close()
+
+
 def test_track_history_on_fused_path():
     """The sweep objective's series must populate on the fused step()
     path when track_history is set, even with no verbose/wandb sink."""
