@@ -77,6 +77,14 @@ class Default(nn.Module):
     # instead of raw uint8 bytes — reference Default feeds bytes
     # (models.py:12-62), which conditions terribly for mixed dtypes.
     emulated: object = None
+    # True = fused encoder+head Pallas kernel (ops/pallas/mlp.py).
+    # MEASURED NEGATIVE on TPU v5e (docs/PERF.md): the pallas operand
+    # boundary forces obs re-layout materializations that cost far more
+    # than the two matmul dispatches it fuses — default stays on the
+    # XLA path (None/False are equivalent). Kept selectable for perf
+    # archaeology; incompatible with model-axis meshes (GSPMD cannot
+    # partition a pallas_call).
+    use_pallas: object = None
 
     def setup(self):
         self.encoder = layer_init_dense(self.hidden_size, name='encoder',
@@ -122,8 +130,8 @@ class Default(nn.Module):
         x = self.encoder_features(observations)
         return jax.nn.relu(self.encoder(x)), None
 
-    def decode_actions(self, hidden, lookup=None):
-        out = self.head(hidden).astype(jnp.float32)
+    def _split_head_out(self, out):
+        """(B, sum(nvec)+1) fused head output -> (logits, value)."""
         value = out[..., -1:]
         if self.is_multidiscrete:
             logits, off = [], 0
@@ -133,7 +141,22 @@ class Default(nn.Module):
             return logits, value
         return out[..., :-1], value
 
+    def decode_actions(self, hidden, lookup=None):
+        return self._split_head_out(self.head(hidden).astype(jnp.float32))
+
     def __call__(self, observations):
+        # use_pallas=True only by explicit request (see field comment:
+        # measured slower than the XLA path in the fused trainer)
+        if self.use_pallas is True and not self.is_initializing():
+            from pufferlib_tpu.ops.pallas.mlp import mlp_head_fwd
+            # obs are constants in RL training: stop_gradient makes the
+            # kernel's zero x-cotangent contract explicit
+            x = jax.lax.stop_gradient(self.encoder_features(observations))
+            w1, b1 = self.encoder_params()
+            hv = self.head.variables['params']
+            out = mlp_head_fwd(x, w1, b1, hv['kernel'], hv['bias'],
+                self.dtype)
+            return self._split_head_out(out)
         hidden, lookup = self.encode_observations(observations)
         return self.decode_actions(hidden, lookup)
 

@@ -278,12 +278,16 @@ def create(config, vecenv, policy, wandb=None, mesh=None):
         # (non-Pallas) LSTM path: GSPMD cannot partition a pallas_call
         # whose operands are sharded — enforce it here, where the user
         # can fix the constructor, not deep inside update compilation.
-        if dict(mesh.shape).get('model', 1) > 1 and recurrent \
-                and getattr(policy.module, 'use_pallas', False) is not False:
+        _up = getattr(policy.module, 'use_pallas', False)
+        # None means auto-Pallas-on-TPU for LSTMWrapper but plain-XLA
+        # for Default (whose kernel is explicit-opt-in only)
+        if dict(mesh.shape).get('model', 1) > 1 and (
+                _up is True or (_up is None and recurrent)):
             raise APIUsageError(
                 "a mesh with a 'model' axis (tensor parallelism) requires "
-                'LSTMWrapper(use_pallas=False); the auto/True Pallas LSTM '
-                'kernels cannot be partitioned by GSPMD')
+                'use_pallas=False on the policy module (LSTMWrapper / '
+                'Default); the auto/True Pallas kernels cannot be '
+                'partitioned by GSPMD')
         p_shard = param_shardings(mesh, params)
         o_shard = param_shardings(mesh, opt_state)
         # discover the batch structure without running anything

@@ -554,3 +554,69 @@ def test_lstm_wrapper_fused_kernel_matches_plain(monkeypatch):
     assert jnp.allclose(h_f, h_p, atol=1e-5)
     assert jnp.allclose(c_f, c_p, atol=1e-5)
 
+
+
+def test_mlp_head_fwd_matches_reference():
+    """Fused MLP forward kernel (ops/pallas/mlp.py): output and
+    custom-VJP weight grads match the pure-JAX composition (interpret
+    mode on CPU). x-cotangent is zero by contract."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from pufferlib_tpu.ops.pallas.mlp import (
+        mlp_head_fwd, mlp_head_reference)
+
+    B, F, H, O = 24, 49, 32, 9
+    k = jax.random.split(jax.random.PRNGKey(0), 5)
+    x = jax.random.normal(k[0], (B, F), jnp.float32)
+    w1 = jax.random.normal(k[1], (F, H), jnp.float32) * 0.3
+    b1 = jax.random.normal(k[2], (H,), jnp.float32) * 0.1
+    w2 = jax.random.normal(k[3], (H, O), jnp.float32) * 0.3
+    b2 = jax.random.normal(k[4], (O,), jnp.float32) * 0.1
+
+    with pltpu.force_tpu_interpret_mode():
+        out = mlp_head_fwd(x, w1, b1, w2, b2, jnp.float32)
+    ref = mlp_head_reference(x, w1, b1, w2, b2, jnp.float32)
+    assert out.dtype == jnp.float32
+    assert jnp.allclose(out, ref, atol=1e-5)
+
+    def loss_k(w1, b1, w2, b2):
+        o = mlp_head_fwd(x, w1, b1, w2, b2, jnp.float32)
+        return jnp.sum(o ** 2)
+
+    def loss_r(w1, b1, w2, b2):
+        o = mlp_head_reference(x, w1, b1, w2, b2, jnp.float32)
+        return jnp.sum(o ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gk = jax.grad(loss_k, argnums=(0, 1, 2, 3))(w1, b1, w2, b2)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(w1, b1, w2, b2)
+    for a, b in zip(gk, gr):
+        assert jnp.allclose(a, b, atol=1e-4), (a - b)
+
+
+def test_default_fused_path_matches_plain():
+    """Default(use_pallas=True) — the rollout hot-path fused kernel —
+    produces the same logits/value as the plain XLA path on the same
+    params, including the emulated-Dict nativize front end."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from pufferlib_tpu import spaces
+    from pufferlib_tpu.models import Default
+
+    obs_shape = (7, 7)
+    B = 16
+    mk = lambda up: Default(obs_shape=obs_shape,
+        action_space=spaces.MultiDiscrete([3, 4]), hidden_size=32,
+        use_pallas=up)
+    x = jax.random.normal(jax.random.PRNGKey(0), (B,) + obs_shape)
+    m_plain = mk(False)
+    params = m_plain.init(jax.random.PRNGKey(1), x)
+    lo_p, v_p = m_plain.apply(params, x)
+
+    with pltpu.force_tpu_interpret_mode():
+        lo_f, v_f = mk(True).apply(params, x)
+    for a, b in zip(lo_f, lo_p):
+        assert jnp.allclose(a, b, atol=1e-5)
+    assert jnp.allclose(v_f, v_p, atol=1e-5)

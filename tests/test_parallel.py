@@ -17,15 +17,18 @@ def make_data(mesh=None, recurrent=False, seed=3, **cfg):
     vecenv = vector.make(creator, backend=vector.Device, num_envs=16)
     obs_shape = vecenv.single_observation_space.shape
     atn_space = vecenv.single_action_space
+    # use_pallas=False: model-axis meshes require the XLA path (GSPMD
+    # cannot partition a pallas_call) and ppo.create enforces it
     if recurrent:
         module = LSTMWrapper(
             policy=Default(obs_shape=obs_shape, action_space=atn_space,
                 hidden_size=32),
-            obs_shape=obs_shape, input_size=32, hidden_size=32)
+            obs_shape=obs_shape, input_size=32, hidden_size=32,
+            use_pallas=False)
         policy = RecurrentPolicy(module)
     else:
         policy = Policy(Default(obs_shape=obs_shape,
-            action_space=atn_space, hidden_size=32))
+            action_space=atn_space, hidden_size=32, use_pallas=False))
     config = ppo.default_config(env='squared', batch_size=512,
         minibatch_size=256, bptt_horizon=8, total_timesteps=2048,
         verbose=False, seed=seed, data_dir='/tmp/puffer_tpu_test',
