@@ -58,6 +58,27 @@ def test_stochastic_learning_matches_reference():
     assert abs(repo.mean() - ref.mean()) <= 0.05, (ref, repo)
 
 
+def test_multiagent_learning_matches_reference():
+    """Ocean multiagent: the PettingZoo padded-agent path on the
+    reference side vs the device engine's batched agent lanes — both
+    must reach perfect per-agent scores (the multi-agent training h2h;
+    ref emulation.py:236-426 + clean_pufferl agent-keyed infos)."""
+    ref, repo = _band('multiagent', seeds=[1])
+    assert ref.mean() > 0.9, f'reference failed to learn: {ref}'
+    assert repo.mean() > 0.9, f'repo failed to learn: {repo}'
+    assert abs(repo.mean() - ref.mean()) <= 0.05, (ref, repo)
+
+
+def test_spaces_beats_reference():
+    """Ocean spaces (Dict obs + Dict action through emulation): the
+    repo's trace-time nativize must keep SOLVING both action components
+    (score >= 0.9) where the reference's byte-fed Default plateaus near
+    the 0.5 one-component level (docs/PARITY.md). Guards the nativize
+    advantage rather than symmetric parity."""
+    repo = np.asarray([head_to_head.run_repo('spaces', 1)['tail']])
+    assert repo.mean() > 0.9, f'repo failed to solve spaces: {repo}'
+
+
 def test_cartpole_learning_matches_reference():
     """Real gymnasium CartPole through each side's host path, MLP,
     identical reduced budget. Returns are high-variance; the contract

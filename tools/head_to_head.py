@@ -42,6 +42,17 @@ HP = {
     'memory': dict(total_timesteps=122_880, learning_rate=0.017,
         num_envs=8, batch_size=1024, minibatch_size=128, bptt_horizon=4,
         use_rnn=True),
+    # multiagent: PettingZoo on the reference side (2 padded agents,
+    # per-agent '1/score'/'2/score' infos) vs the device engine's
+    # batched 2-agent lanes here — the multi-agent training path h2h
+    'multiagent': dict(total_timesteps=30_720, learning_rate=0.017,
+        num_envs=8, batch_size=1024, minibatch_size=128, bptt_horizon=4,
+        use_rnn=True),
+    # spaces: Dict observation + Dict action through emulation on BOTH
+    # sides (reference: structured bytes; here: trace-time nativize)
+    'spaces': dict(total_timesteps=30_720, learning_rate=0.017,
+        num_envs=8, batch_size=1024, minibatch_size=128, bptt_horizon=4,
+        use_rnn=True),
     'cartpole': dict(total_timesteps=204_800, learning_rate=2.5e-4,
         num_envs=64, batch_size=1024, minibatch_size=512,
         bptt_horizon=16, use_rnn=False),
@@ -49,13 +60,30 @@ HP = {
 #: metric judged per env (ocean emits 'score' in [0,1]; cartpole only
 #: episode stats)
 METRIC = {'squared': 'score', 'password': 'score', 'stochastic': 'score',
-    'memory': 'score', 'cartpole': 'episode_return'}
+    'memory': 'score', 'multiagent': 'score', 'spaces': 'score',
+    'cartpole': 'episode_return'}
 
 
-def tail_mean(history, metric, frac=0.2):
+def extract_metric(env, side, stats):
+    """Per-epoch metric value, normalized across the two stacks.
+
+    multiagent: the reference logs per-agent '{i}/score' (PettingZoo
+    agent-keyed infos, ref clean_pufferl.py:126-154); the repo sums the
+    (2,)-shaped score info over agents — both map to the mean per-agent
+    score."""
+    if env == 'multiagent':
+        if side == 'reference':
+            vals = [v for k, v in stats.items() if k.endswith('/score')]
+            return float(np.mean(vals)) if vals else None
+        return stats['score'] / 2.0 if 'score' in stats else None
+    return stats.get(METRIC[env])
+
+
+def tail_mean(history, env, side, frac=0.2):
     """Mean of the metric over the last `frac` of the run — the curve's
     converged level, robust to single-epoch noise."""
-    series = [d[metric] for _, d in history if metric in d]
+    series = [v for _, d in history
+        if (v := extract_metric(env, side, d)) is not None]
     if not series:
         return float('nan')
     k = max(1, int(len(series) * frac))
@@ -70,7 +98,7 @@ def run_reference(env, seed):
         env_batch_size=hp['num_envs'], batch_size=hp['batch_size'],
         minibatch_size=hp['minibatch_size'],
         bptt_horizon=hp['bptt_horizon'])
-    out['tail'] = tail_mean(out['history'], METRIC[env])
+    out['tail'] = tail_mean(out['history'], env, 'reference')
     return out
 
 
@@ -121,8 +149,11 @@ def run_repo(env, seed):
         vecenv = vector.make(env_creator(env), backend=vector.Device,
             num_envs=hp['num_envs'])
         obs_shape = vecenv.single_observation_space.shape
+        # emulated: trace-time nativize for Dict-obs envs (spaces);
+        # no-op for plain Box obs
         module = Default(obs_shape=obs_shape,
-            action_space=vecenv.single_action_space, hidden_size=128)
+            action_space=vecenv.single_action_space, hidden_size=128,
+            emulated=vecenv.emulated)
         if hp['use_rnn']:
             policy = RecurrentPolicy(LSTMWrapper(policy=module,
                 obs_shape=obs_shape, input_size=128, hidden_size=128))
@@ -150,7 +181,7 @@ def run_repo(env, seed):
         'env': env, 'seed': seed, 'history': history,
         'final': history[-1][1] if history else {},
         'sps': steps / elapsed, 'global_step': int(steps),
-        'tail': tail_mean(history, METRIC[env]),
+        'tail': tail_mean(history, env, 'repo'),
     }
 
 

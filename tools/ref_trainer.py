@@ -121,7 +121,8 @@ PACKAGES = {
 
 ENV_PACKAGE = {
     'squared': 'ocean', 'password': 'ocean', 'stochastic': 'ocean',
-    'bandit': 'ocean', 'memory': 'ocean',
+    'bandit': 'ocean', 'memory': 'ocean', 'multiagent': 'ocean',
+    'spaces': 'ocean',
     'cartpole': 'classic_control',
 }
 
