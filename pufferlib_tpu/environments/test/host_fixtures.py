@@ -38,6 +38,39 @@ class GymnasiumPerformanceEnv:
         pass
 
 
+class GymnasiumCrashOnceEnv:
+    """Kills its PROCESS (os._exit) on the 3rd step unless the sentinel
+    file already exists; the crash leaves the sentinel behind, so a
+    respawned worker's instance runs normally. Fixture for the host
+    envpool's elastic recovery (restart_workers)."""
+
+    def __init__(self, sentinel=None):
+        import gymnasium
+        self.observation_space = gymnasium.spaces.Box(
+            low=0, high=100, shape=(2,), dtype=np.float32)
+        self.action_space = gymnasium.spaces.Discrete(2)
+        self.sentinel = sentinel
+        self.render_mode = None
+        self.t = 0
+
+    def reset(self, seed=None, options=None):
+        self.t = 0
+        return np.zeros(2, np.float32), {}
+
+    def step(self, action):
+        import os
+        self.t += 1
+        if self.t == 3 and self.sentinel \
+                and not os.path.exists(self.sentinel):
+            open(self.sentinel, 'w').close()
+            os._exit(1)
+        obs = np.full(2, float(self.t), np.float32)
+        return obs, 1.0, self.t >= 5, False, {}
+
+    def close(self):
+        pass
+
+
 class GymnasiumSleepEnv(GymnasiumPerformanceEnv):
     """time.sleep-based delay fixture: models envs whose step latency
     releases the GIL/CPU (IO, subprocess games). Unlike the busy-spin

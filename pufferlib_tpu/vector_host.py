@@ -356,42 +356,21 @@ class HostMultiprocessing:
             _os.environ.get('PUFFER_HOST_FIRST_TIMEOUT_S', 300)))
         self._contacted = set()
 
-        self.processes = []
-        self.send_pipes = []
-        self.recv_pipes = []
+        self.processes = [None] * num_workers
+        self.send_pipes = [None] * num_workers
+        self.recv_pipes = [None] * num_workers
         creators_list = env_creators if isinstance(
             env_creators, (list, tuple)) else None
-        # workers never touch the accelerator: drop TPU plugin paths
-        # (the *.axon_site sitecustomize dir) from their env so each
-        # spawn skips the multi-second jax runtime import; restore under
-        # try/finally so a failed spawn cannot leak the stripped path
-        old_pp = _os.environ.get('PYTHONPATH')
-        if old_pp:
-            _os.environ['PYTHONPATH'] = ':'.join(
-                p for p in old_pp.split(':')
-                if not p.rstrip('/').endswith('.axon_site'))
-        try:
-            for i in range(num_workers):
-                # each worker owns its contiguous slice of the creators
-                worker_creators = env_creators if creators_list is None \
-                    else list(creators_list[i * envs_per_worker:
-                        (i + 1) * envs_per_worker])
-                main_send, worker_recv = _mp.Pipe()
-                worker_send, main_recv = _mp.Pipe()
-                p = _mp.Process(target=_worker_process, args=(
-                    worker_creators, env_args, env_kwargs,
-                    envs_per_worker, obs_shape,
-                    np.dtype(obs_space.dtype), atn_shape,
-                    np.dtype(atn_space.dtype), agents_per_worker, i,
-                    worker_send, worker_recv, self.shm, oversubscribed),
-                    daemon=True)
-                p.start()
-                self.processes.append(p)
-                self.send_pipes.append(main_send)
-                self.recv_pipes.append(main_recv)
-        finally:
-            if old_pp:
-                _os.environ['PYTHONPATH'] = old_pp
+        self._spawn_spec = (env_creators, creators_list, env_args,
+            env_kwargs, obs_shape, np.dtype(obs_space.dtype), atn_shape,
+            np.dtype(atn_space.dtype), oversubscribed)
+        # elastic recovery: >0 allows that many dead-worker respawns
+        # before giving up (the reference has no recovery at all —
+        # SURVEY.md aux; 0 reproduces its fail-fast behavior)
+        self._restarts_left = int(kwargs.pop('restart_workers', 0) or 0)
+        self._seeds = None  # last async_reset seeds, for re-seeding
+        for i in range(num_workers):
+            self._spawn_worker(i)
 
         self.agent_ids = np.arange(self.num_agents).reshape(
             num_workers, agents_per_worker)
@@ -415,11 +394,83 @@ class HostMultiprocessing:
             self._trunc_batch = np.empty(B, bool)
             self._mask_batch = np.empty(B, bool)
 
+    def _spawn_worker(self, i):
+        """(Re)start worker i: fresh pipes + process over the same
+        shared-memory slabs. Used at init and by elastic recovery."""
+        import os as _os
+        (env_creators, creators_list, env_args, env_kwargs, obs_shape,
+            obs_dtype, atn_shape, atn_dtype,
+            oversubscribed) = self._spawn_spec
+        # each worker owns its contiguous slice of the creators
+        worker_creators = env_creators if creators_list is None \
+            else list(creators_list[i * self.envs_per_worker:
+                (i + 1) * self.envs_per_worker])
+        # workers never touch the accelerator: drop TPU plugin paths
+        # (the *.axon_site sitecustomize dir) from their env so each
+        # spawn skips the multi-second jax runtime import; restore under
+        # try/finally so a failed spawn cannot leak the stripped path
+        old_pp = _os.environ.get('PYTHONPATH')
+        if old_pp:
+            _os.environ['PYTHONPATH'] = ':'.join(
+                p for p in old_pp.split(':')
+                if not p.rstrip('/').endswith('.axon_site'))
+        try:
+            main_send, worker_recv = _mp.Pipe()
+            worker_send, main_recv = _mp.Pipe()
+            p = _mp.Process(target=_worker_process, args=(
+                worker_creators, env_args, env_kwargs,
+                self.envs_per_worker, obs_shape, obs_dtype, atn_shape,
+                atn_dtype, self.agents_per_worker, i, worker_send,
+                worker_recv, self.shm, oversubscribed), daemon=True)
+            p.start()
+        finally:
+            if old_pp:
+                _os.environ['PYTHONPATH'] = old_pp
+        self.processes[i] = p
+        self.send_pipes[i] = main_send
+        self.recv_pipes[i] = main_recv
+
+    def _revive_dead(self):
+        """Elastic recovery: respawn dead workers while the
+        restart_workers budget lasts. The respawned worker re-seeds its
+        env slice (its in-flight episodes are aborted: rewards zeroed,
+        truncations set, so downstream sees a clean episode boundary).
+        Returns True if anything was restarted."""
+        revived = False
+        for i, p in enumerate(self.processes):
+            if p.is_alive():
+                continue
+            if self._restarts_left <= 0:
+                return False
+            self._restarts_left -= 1
+            self._contacted.discard(i)  # fresh spawn/import allowance
+            lo = i * self.agents_per_worker
+            hi = lo + self.agents_per_worker
+            self.rew_arr[lo:hi] = 0.0
+            self.term_arr[lo:hi] = False
+            self.trunc_arr[lo:hi] = True
+            self.mask_arr[lo:hi] = True
+            self._spawn_worker(i)
+            # re-seed: the worker publishes MAIN/INFO after its reset,
+            # satisfying whatever wait the driver is currently in
+            if self._seeds is not None:
+                self.send_pipes[i].send(
+                    self._seeds[i * self.envs_per_worker:
+                        (i + 1) * self.envs_per_worker])
+            else:
+                self.send_pipes[i].send(
+                    make_seeds(getattr(self, 'seed', 42) + 1_000_003 * i,
+                        self.envs_per_worker))
+            self.sem[i] = RESET
+            revived = True
+        return revived
+
     def async_reset(self, seed=None):
         self.flag = RECV
         if seed is None:
             seed = getattr(self, 'seed', 42)
         seeds = make_seeds(seed, self.num_workers * self.envs_per_worker)
+        self._seeds = seeds
         for i in range(self.num_workers):
             lo = i * self.envs_per_worker
             self.send_pipes[i].send(seeds[lo:lo + self.envs_per_worker])
@@ -454,17 +505,26 @@ class HostMultiprocessing:
         return ready
 
     def _check_alive(self):
-        for p in self.processes:
-            if not p.is_alive():
-                raise RuntimeError(
-                    'env worker died (creator must be a picklable '
-                    'module-level callable under spawn)')
+        """Raises on unrecoverable worker death; returns True if dead
+        workers were revived (restart_workers budget), False if all
+        workers are alive."""
+        if any(not p.is_alive() for p in self.processes):
+            if self._revive_dead():
+                return True
+            raise RuntimeError(
+                'env worker died (creator must be a picklable '
+                'module-level callable under spawn; pass '
+                'restart_workers=N to auto-respawn crashed workers)')
+        return False
 
     def _wait(self, candidates):
         """First workers_per_batch ready workers among `candidates`."""
-        timeout_s = self._timeout_s if \
-            self._contacted.issuperset(candidates) else self._first_timeout_s
-        if self._lib is not None:
+        while True:
+            timeout_s = self._timeout_s if self._contacted.issuperset(
+                candidates) else self._first_timeout_s
+            if self._lib is None:
+                ready = self._wait_ready_python(candidates)
+                break
             # C++ spin (GIL released) with a watchdog
             try:
                 ready = self._native.wait_ready(self._lib, self.sem,
@@ -473,12 +533,11 @@ class HostMultiprocessing:
                     timeout_us=int(timeout_s * 1e6),
                     spin_us=self._spin_us)
             except TimeoutError:
-                self._check_alive()
-                raise
+                if self._check_alive():  # raises if unrecoverable
+                    continue  # revived a dead worker: wait again
+                raise  # all workers alive: genuine stall
             ready = ready.tolist()
-            self._contacted.update(ready)
-            return ready
-        ready = self._wait_ready_python(candidates)
+            break
         self._contacted.update(ready)
         return ready
 

@@ -127,6 +127,42 @@ def test_host_multiprocessing_matches_serial():
     mp.close()
 
 
+@pytest.mark.slow
+def test_restart_workers_recovers_from_crash(tmp_path, monkeypatch):
+    """Elastic recovery (beyond the reference, which only fail-fasts —
+    SURVEY.md aux): with restart_workers=N, a worker process that DIES
+    mid-step is respawned over the same shared-memory slabs, its env
+    slice re-seeded, and stepping continues. Budget exhaustion falls
+    back to the fail-fast RuntimeError."""
+    import functools
+    from pufferlib_tpu.environments.test.host_fixtures import (
+        GymnasiumCrashOnceEnv)
+
+    monkeypatch.setenv('PUFFER_HOST_TIMEOUT_S', '3')
+    creators = [
+        functools.partial(GymnasiumCrashOnceEnv,
+            sentinel=str(tmp_path / f'crashed_{i}'))
+        for i in range(2)
+    ]
+    vec = vector_host.make(creators,
+        backend=vector_host.HostMultiprocessing, num_envs=2,
+        num_workers=2, restart_workers=2)
+    obs, _ = vec.reset(seed=0)
+    action = np.zeros((2, 1), np.int64) if len(
+        np.shape(vec.single_action_space.sample())) else np.zeros(2, np.int64)
+    # both workers os._exit on their 3rd step; the pool must recover
+    # and keep serving batches
+    for _ in range(12):
+        obs, rew, term, trunc, infos = vec.step(action)
+        assert obs.shape[0] == 2
+    assert vec._restarts_left == 0  # both respawns were consumed
+    assert (tmp_path / 'crashed_0').exists()
+    assert (tmp_path / 'crashed_1').exists()
+    # envs stepped past the crash point after recovery
+    assert float(np.max(obs)) >= 1.0
+    vec.close()
+
+
 def test_first_contact_allowance_is_per_worker():
     """The generous spawn/import watchdog budget applies to each
     worker's FIRST wait: with batch < num_envs the fastest workers
