@@ -62,7 +62,9 @@ def make_vecenv(args, creator, backend_name=None, num_envs=None):
         if backend is vector_host.HostMultiprocessing:
             kwargs = dict(
                 num_workers=args.train.get('num_workers') or num_envs,
-                batch_size=args.train.get('env_batch_size'))
+                batch_size=args.train.get('env_batch_size'),
+                # elastic recovery budget (--train.restart-workers)
+                restart_workers=args.train.get('restart_workers', 0))
         return vector_host.make(creator, env_kwargs=env_kwargs,
             backend=backend, num_envs=num_envs, **kwargs)
     import pufferlib_tpu.vector as vector
@@ -92,7 +94,8 @@ def train(args, env_module, creator):
     ppo = ppo_host if host else ppo_device
 
     train_cfg = dict(args.train)
-    for k in ('num_envs', 'num_workers', 'env_batch_size'):
+    for k in ('num_envs', 'num_workers', 'env_batch_size',
+            'restart_workers'):
         train_cfg.pop(k, None)
     config = ppo.default_config(env=args.env, exp_id=args.exp_id,
         **train_cfg)
