@@ -32,11 +32,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _tile(B, prefer=2048):
-    for bt in (prefer, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
-        if bt <= prefer and B % bt == 0:
+def _tile(B):
+    for bt in (2048, 1024, 512, 256, 128, 64, 32, 16, 8):
+        if B % bt == 0:
             return bt
-    # assert here with the real cause, not `B // None` at the grid
+    # fail here with the real cause, not `B // None` at the grid
     raise AssertionError(
         f'batch {B} not tileable (must be divisible by 8); '
         'the fused MLP kernel needs B % 8 == 0')

@@ -369,6 +369,10 @@ class HostMultiprocessing:
         # SURVEY.md aux; 0 reproduces its fail-fast behavior)
         self._restarts_left = int(kwargs.pop('restart_workers', 0) or 0)
         self._seeds = None  # last async_reset seeds, for re-seeding
+        # workers revived since their last gather: their first batch
+        # rows surface as zero-reward truncations (aborted episodes)
+        self._pending_abort = set()
+        self._last_alive_check = time.time()
         for i in range(num_workers):
             self._spawn_worker(i)
 
@@ -394,9 +398,11 @@ class HostMultiprocessing:
             self._trunc_batch = np.empty(B, bool)
             self._mask_batch = np.empty(B, bool)
 
-    def _spawn_worker(self, i):
-        """(Re)start worker i: fresh pipes + process over the same
-        shared-memory slabs. Used at init and by elastic recovery."""
+    def _spawn_worker(self, i, defer_start=False):
+        """(Re)create worker i: fresh pipes + process over the same
+        shared-memory slabs. Used at init and by elastic recovery.
+        With defer_start the caller publishes protocol state (seeds,
+        semaphore) before starting the child."""
         import os as _os
         (env_creators, creators_list, env_args, env_kwargs, obs_shape,
             obs_dtype, atn_shape, atn_dtype,
@@ -405,6 +411,30 @@ class HostMultiprocessing:
         worker_creators = env_creators if creators_list is None \
             else list(creators_list[i * self.envs_per_worker:
                 (i + 1) * self.envs_per_worker])
+        # on respawn: release the dead worker's pipe fds (and any
+        # buffered INFO payload) instead of leaking them until GC
+        for pipes in (self.send_pipes, self.recv_pipes):
+            if pipes[i] is not None:
+                try:
+                    pipes[i].close()
+                except OSError:
+                    pass
+        main_send, worker_recv = _mp.Pipe()
+        worker_send, main_recv = _mp.Pipe()
+        p = _mp.Process(target=_worker_process, args=(
+            worker_creators, env_args, env_kwargs,
+            self.envs_per_worker, obs_shape, obs_dtype, atn_shape,
+            atn_dtype, self.agents_per_worker, i, worker_send,
+            worker_recv, self.shm, oversubscribed), daemon=True)
+        self.processes[i] = p
+        self.send_pipes[i] = main_send
+        self.recv_pipes[i] = main_recv
+        if not defer_start:
+            self._start_worker(p)
+        return p
+
+    def _start_worker(self, p):
+        import os as _os
         # workers never touch the accelerator: drop TPU plugin paths
         # (the *.axon_site sitecustomize dir) from their env so each
         # spawn skips the multi-second jax runtime import; restore under
@@ -412,47 +442,32 @@ class HostMultiprocessing:
         old_pp = _os.environ.get('PYTHONPATH')
         if old_pp:
             _os.environ['PYTHONPATH'] = ':'.join(
-                p for p in old_pp.split(':')
-                if not p.rstrip('/').endswith('.axon_site'))
+                pth for pth in old_pp.split(':')
+                if not pth.rstrip('/').endswith('.axon_site'))
         try:
-            main_send, worker_recv = _mp.Pipe()
-            worker_send, main_recv = _mp.Pipe()
-            p = _mp.Process(target=_worker_process, args=(
-                worker_creators, env_args, env_kwargs,
-                self.envs_per_worker, obs_shape, obs_dtype, atn_shape,
-                atn_dtype, self.agents_per_worker, i, worker_send,
-                worker_recv, self.shm, oversubscribed), daemon=True)
             p.start()
         finally:
             if old_pp:
                 _os.environ['PYTHONPATH'] = old_pp
-        self.processes[i] = p
-        self.send_pipes[i] = main_send
-        self.recv_pipes[i] = main_recv
 
     def _revive_dead(self):
         """Elastic recovery: respawn dead workers while the
         restart_workers budget lasts. The respawned worker re-seeds its
-        env slice (its in-flight episodes are aborted: rewards zeroed,
-        truncations set, so downstream sees a clean episode boundary).
-        Returns True if anything was restarted."""
-        revived = False
-        for i, p in enumerate(self.processes):
-            if p.is_alive():
-                continue
-            if self._restarts_left <= 0:
-                return False
-            self._restarts_left -= 1
+        env slice; the aborted episodes surface at the next gather as
+        zero-reward truncations (_pending_abort). All-or-nothing: if the
+        remaining budget cannot cover every dead worker, nothing is
+        respawned and the caller fail-fasts. Returns True if workers
+        were restarted."""
+        dead = [i for i, p in enumerate(self.processes)
+            if not p.is_alive()]
+        if not dead or len(dead) > self._restarts_left:
+            return False
+        self._restarts_left -= len(dead)
+        for i in dead:
             self._contacted.discard(i)  # fresh spawn/import allowance
-            lo = i * self.agents_per_worker
-            hi = lo + self.agents_per_worker
-            self.rew_arr[lo:hi] = 0.0
-            self.term_arr[lo:hi] = False
-            self.trunc_arr[lo:hi] = True
-            self.mask_arr[lo:hi] = True
-            self._spawn_worker(i)
-            # re-seed: the worker publishes MAIN/INFO after its reset,
-            # satisfying whatever wait the driver is currently in
+            p = self._spawn_worker(i, defer_start=True)
+            # publish seeds + RESET BEFORE the child starts: it must
+            # never consume the dead worker's stale STEP semaphore
             if self._seeds is not None:
                 self.send_pipes[i].send(
                     self._seeds[i * self.envs_per_worker:
@@ -462,8 +477,9 @@ class HostMultiprocessing:
                     make_seeds(getattr(self, 'seed', 42) + 1_000_003 * i,
                         self.envs_per_worker))
             self.sem[i] = RESET
-            revived = True
-        return revived
+            self._start_worker(p)
+            self._pending_abort.add(i)
+        return True
 
     def async_reset(self, seed=None):
         self.flag = RECV
@@ -519,6 +535,14 @@ class HostMultiprocessing:
 
     def _wait(self, candidates):
         """First workers_per_batch ready workers among `candidates`."""
+        # elastic mode: a dead worker OUTSIDE the satisfied batch group
+        # never trips the wait watchdog (envpool mode keeps being served
+        # by the live workers) — sweep liveness periodically so its env
+        # slice doesn't silently drop out of training
+        if self._restarts_left > 0 and \
+                time.time() - self._last_alive_check > 1.0:
+            self._last_alive_check = time.time()
+            self._revive_dead()
         while True:
             timeout_s = self._timeout_s if self._contacted.issuperset(
                 candidates) else self._first_timeout_s
@@ -562,6 +586,7 @@ class HostMultiprocessing:
                 blocks, apw)
             g.gather_rows(self._lib, self.mask_arr, self._mask_batch,
                 blocks, apw)
+            self._mark_aborted(ready, self._rew_batch, self._trunc_batch)
             if not copy:
                 return (self._obs_batch, self._rew_batch,
                     self._term_batch, self._trunc_batch, infos, idx,
@@ -570,9 +595,27 @@ class HostMultiprocessing:
                 self._term_batch.copy(), self._trunc_batch.copy(),
                 infos, idx, self._mask_batch.copy())
 
-        out = (self.obs_arr[idx], self.rew_arr[idx], self.term_arr[idx],
-            self.trunc_arr[idx], infos, idx, self.mask_arr[idx])
-        return out
+        rew, trunc = self.rew_arr[idx], self.trunc_arr[idx]
+        self._mark_aborted(ready, rew, trunc)
+        return (self.obs_arr[idx], rew, self.term_arr[idx],
+            trunc, infos, idx, self.mask_arr[idx])
+
+    def _mark_aborted(self, ready, rew, trunc):
+        """First gathered batch of a revived worker: its in-flight
+        episodes were lost to the crash — surface them as zero-reward
+        truncations so the trainer cuts GAE/LSTM state there instead of
+        stitching the dead episode into the fresh reset (the worker's
+        own reset cleared the slab flags, so this is driver-side)."""
+        aborted = self._pending_abort.intersection(ready)
+        if not aborted:
+            return
+        apw = self.agents_per_worker
+        order = list(ready)
+        for w in aborted:
+            k = order.index(w)
+            rew[k * apw:(k + 1) * apw] = 0.0
+            trunc[k * apw:(k + 1) * apw] = True
+        self._pending_abort.difference_update(aborted)
 
     def recv(self):
         recv_precheck(self)

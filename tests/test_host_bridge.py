@@ -152,14 +152,66 @@ def test_restart_workers_recovers_from_crash(tmp_path, monkeypatch):
         np.shape(vec.single_action_space.sample())) else np.zeros(2, np.int64)
     # both workers os._exit on their 3rd step; the pool must recover
     # and keep serving batches
+    saw_abort_trunc = False
     for _ in range(12):
         obs, rew, term, trunc, infos = vec.step(action)
         assert obs.shape[0] == 2
+        # the revived workers' first batch must surface the aborted
+        # episodes as zero-reward truncations (driver-side marking —
+        # the worker's own reset clears the slab flags)
+        if np.any(trunc):
+            assert np.all(rew[np.asarray(trunc)] == 0.0)
+            saw_abort_trunc = True
+    assert saw_abort_trunc, 'aborted episodes never surfaced as truncations'
     assert vec._restarts_left == 0  # both respawns were consumed
     assert (tmp_path / 'crashed_0').exists()
     assert (tmp_path / 'crashed_1').exists()
     # envs stepped past the crash point after recovery
     assert float(np.max(obs)) >= 1.0
+    vec.close()
+
+
+@pytest.mark.slow
+def test_restart_workers_envpool_mode(tmp_path, monkeypatch):
+    """Envpool mode (batch < num_envs): a crashed worker never blocks a
+    wait (live workers keep serving batches), so recovery must come from
+    the periodic liveness sweep — its env slice has to rejoin the pool
+    rather than silently dropping out of training."""
+    import functools
+    import time
+    from pufferlib_tpu.environments.test.host_fixtures import (
+        GymnasiumCrashOnceEnv)
+
+    monkeypatch.setenv('PUFFER_HOST_TIMEOUT_S', '5')
+    creators = [
+        functools.partial(GymnasiumCrashOnceEnv,
+            sentinel=str(tmp_path / f'crashed_{i}'))
+        for i in range(4)
+    ]
+    vec = vector_host.make(creators,
+        backend=vector_host.HostMultiprocessing, num_envs=4,
+        num_workers=4, batch_size=2, restart_workers=4)
+    vec.async_reset(seed=0)
+    seen_workers = set()
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        obs, rew, term, trunc, infos, ids, masks = vec.recv()
+        seen_workers.update(int(i) for i in ids)
+        vec.send(np.zeros((len(ids), 1), np.int64))
+        crashed = sum((tmp_path / f'crashed_{i}').exists()
+            for i in range(4))
+        if crashed == 4 and vec._restarts_left == 0:
+            break
+    # every worker crashed once and was revived
+    assert vec._restarts_left == 0
+    # all worker slices keep serving batches after their revival
+    post = set()
+    deadline = time.time() + 30
+    while len(post) < 4 and time.time() < deadline:
+        obs, rew, term, trunc, infos, ids, masks = vec.recv()
+        post.update(int(i) // vec.agents_per_worker for i in ids)
+        vec.send(np.zeros((len(ids), 1), np.int64))
+    assert post == {0, 1, 2, 3}, post
     vec.close()
 
 
@@ -176,6 +228,8 @@ def test_first_contact_allowance_is_per_worker():
     vec.workers_per_batch = 2
     vec.num_workers = 4
     vec.processes = []
+    vec._restarts_left = 0
+    vec._last_alive_check = 0.0
 
     timeouts = []
 
