@@ -199,7 +199,13 @@ def evaluate(args, env_module, creator):
         state = None
 
     if args.model_path:
-        params = ckpt.load_pytree(args.model_path)
+        if args.model_path.endswith('.pt'):
+            # reference torch checkpoint: convert on the fly
+            # (frameworks/torch_import.py, tested output-equivalent)
+            from pufferlib_tpu.frameworks import torch_import
+            params = torch_import.load_pt(args.model_path)
+        else:
+            params = ckpt.load_pytree(args.model_path)
 
     recurrent = isinstance(policy, RecurrentPolicy)
     frames = int(os.environ.get('PUFFER_EVAL_STEPS', 10 ** 9))

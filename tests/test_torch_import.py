@@ -114,6 +114,33 @@ def test_lstm_wrapper_outputs_match(ref_env_module):
     assert np.allclose(np.asarray(c_j), state_t[1].numpy(), atol=1e-5)
 
 
+def test_demo_eval_accepts_pt_checkpoint(ref_env_module, tmp_path,
+        monkeypatch, capsys):
+    """demo.py --mode eval --model-path model.pt plays a reference
+    torch checkpoint directly (converted on the fly)."""
+    env_module, driver = _driver(ref_env_module, 'squared')
+    from pufferlib.frameworks import cleanrl
+    # squared evals with the MLP policy (config.yaml squared section has
+    # no use_rnn); the LSTM conversion is covered by the module test
+    t_policy = cleanrl.Policy(env_module.Policy(driver))
+    pt = tmp_path / 'model_000002.pt'
+    torch.save(t_policy, pt)
+
+    # the ref shims put /root/reference ahead on sys.path, which
+    # shadows the repo's demo.py — load it by explicit path
+    import importlib.util
+    repo_demo = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'demo.py')
+    spec = importlib.util.spec_from_file_location('_repo_demo', repo_demo)
+    demo = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(demo)
+    monkeypatch.setenv('PUFFER_EVAL_STEPS', '2')
+    monkeypatch.setenv('PUFFER_EVAL_DELAY', '0')
+    demo.main(['--env', 'squared', '--mode', 'eval',
+        '--model-path', str(pt)])
+    assert capsys.readouterr().out.count('Reward:') == 2
+
+
 def test_cleanrl_wrapper_and_pt_roundtrip(ref_env_module, tmp_path):
     """convert() unwraps the reference cleanrl.Policy wrapper, and
     load_pt converts a torch.save'd checkpoint file — the reference's
