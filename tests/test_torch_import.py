@@ -141,6 +141,19 @@ def test_demo_eval_accepts_pt_checkpoint(ref_env_module, tmp_path,
     assert capsys.readouterr().out.count('Reward:') == 2
 
 
+def test_policy_store_serves_pt_files(ref_env_module, tmp_path):
+    """A reference user's opponent pool (directory of model_*.pt,
+    reference policy_store.py:6-26) works in our PolicyStore unchanged."""
+    env_module, driver = _driver(ref_env_module, 'squared')
+    from pufferlib_tpu.policy_store import PolicyStore
+    torch.save(env_module.Policy(driver).state_dict(),
+        tmp_path / 'model_000007.pt')
+    store = PolicyStore(str(tmp_path))
+    assert store.policy_names() == ['model_000007']
+    params = store.get_policy('model_000007')
+    assert 'encoder' in params['params']
+
+
 def test_cleanrl_wrapper_and_pt_roundtrip(ref_env_module, tmp_path):
     """convert() unwraps the reference cleanrl.Policy wrapper, and
     load_pt converts a torch.save'd checkpoint file — the reference's
