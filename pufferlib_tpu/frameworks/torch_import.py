@@ -119,3 +119,50 @@ def load_pt(path):
     import torch
     obj = torch.load(path, map_location='cpu', weights_only=False)
     return convert(obj)
+
+
+def export(params, nvec=None):
+    """Reverse direction: flax params (models.Default or
+    models.LSTMWrapper(Default)) -> reference-layout torch state_dict,
+    so policies trained here load into the reference torch modules
+    (`module.load_state_dict(export(params, nvec))`).
+
+    nvec: per-head action counts for splitting the fused head back into
+    the reference's decoder ModuleList; None/len==1 emits the single
+    `decoder.weight` layout."""
+    import torch
+    p = params.get('params', params)
+    recurrent = any(k.startswith('w_ih_l') for k in p)
+    inner = p['policy'] if recurrent else p
+    sd = {}
+    pre = 'policy.' if recurrent else ''
+    sd[f'{pre}encoder.weight'] = np.asarray(inner['encoder']['kernel']).T
+    sd[f'{pre}encoder.bias'] = np.asarray(inner['encoder']['bias'])
+    head_w = np.asarray(inner['head']['kernel'])  # (H, sum(nvec)+1)
+    head_b = np.asarray(inner['head']['bias'])
+    if nvec is None:
+        nvec = [head_w.shape[1] - 1]
+    if sum(nvec) + 1 != head_w.shape[1]:
+        raise ValueError(f'nvec {nvec} does not tile the fused head '
+            f'({head_w.shape[1]} = sum(nvec) + 1 expected)')
+    off = 0
+    for i, n in enumerate(nvec):
+        key = f'{pre}decoder.' + (f'{i}.' if len(nvec) > 1 else '')
+        sd[key + 'weight'] = head_w[:, off:off + n].T
+        sd[key + 'bias'] = head_b[off:off + n]
+        off += n
+    sd[f'{pre}value_head.weight'] = head_w[:, -1:].T
+    sd[f'{pre}value_head.bias'] = head_b[-1:]
+    layer = 0
+    while recurrent and f'w_ih_l{layer}' in p:
+        sd[f'recurrent.weight_ih_l{layer}'] = np.asarray(
+            p[f'w_ih_l{layer}']).T
+        sd[f'recurrent.weight_hh_l{layer}'] = np.asarray(
+            p[f'w_hh_l{layer}']).T
+        # torch keeps two bias vectors; their sum is what the cell adds
+        sd[f'recurrent.bias_ih_l{layer}'] = np.asarray(p[f'b_l{layer}'])
+        sd[f'recurrent.bias_hh_l{layer}'] = np.zeros_like(
+            np.asarray(p[f'b_l{layer}']))
+        layer += 1
+    return {k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in sd.items()}

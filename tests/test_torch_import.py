@@ -141,6 +141,35 @@ def test_demo_eval_accepts_pt_checkpoint(ref_env_module, tmp_path,
     assert capsys.readouterr().out.count('Reward:') == 2
 
 
+def test_export_roundtrip_into_reference_module(ref_env_module):
+    """export(): params trained here load into the reference torch
+    modules via load_state_dict and produce the same outputs — the
+    reverse migration direction (LSTM + MultiDiscrete covered)."""
+    env_module, driver = _driver(ref_env_module, 'spaces')
+    t_policy = env_module.Recurrent(driver, env_module.Policy(driver))
+    nvec = [int(x) for x in driver.single_action_space.nvec]
+
+    # start from OUR params (converted once so shapes line up), export,
+    # and load into a FRESH torch module
+    params = torch_import.convert(t_policy)
+    t_fresh = env_module.Recurrent(driver, env_module.Policy(driver))
+    missing, unexpected = t_fresh.load_state_dict(
+        torch_import.export(params, nvec=nvec))
+    assert not missing and not unexpected
+
+    obs_shape = driver.single_observation_space.shape
+    rng = np.random.RandomState(3)
+    obs = rng.randint(0, 255, size=(4, 2) + tuple(obs_shape)).astype(
+        driver.single_observation_space.dtype)
+    with torch.no_grad():
+        lo_a, v_a, st_a = t_policy(torch.as_tensor(obs), None)
+        lo_b, v_b, st_b = t_fresh(torch.as_tensor(obs), None)
+    for a, b in zip(lo_a, lo_b):
+        assert np.allclose(a.numpy(), b.numpy(), atol=1e-6)
+    assert np.allclose(v_a.numpy(), v_b.numpy(), atol=1e-6)
+    assert np.allclose(st_a[0].numpy(), st_b[0].numpy(), atol=1e-6)
+
+
 def test_policy_store_serves_pt_files(ref_env_module, tmp_path):
     """A reference user's opponent pool (directory of model_*.pt,
     reference policy_store.py:6-26) works in our PolicyStore unchanged."""
