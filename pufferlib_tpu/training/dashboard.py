@@ -1,10 +1,14 @@
 """Rich terminal dashboard + utilization sampling.
 
-Parity: reference clean_pufferl.py:484-507 (Utilization thread) and
-:603-738 (print_dashboard): header with host/device utilization, summary
-(env/steps/SPS/epoch/uptime/remaining), per-phase perf, losses, user
-stats, message. GPU columns become TPU HBM stats from
-device.memory_stats().
+Parity (behavioral, not code): the reference trainer renders an
+in-place rich TUI (clean_pufferl.py:603-738) with a header carrying
+host/device utilization sampled by a daemon thread
+(clean_pufferl.py:484-507), a summary pane (env/steps/SPS/epoch/
+uptime/remaining), a per-phase perf breakdown, the PPO losses, user
+stats, and a message line. This module reproduces that *look* with an
+independent implementation: a theme dict instead of module-level color
+globals, table-driven unit formatting, and one builder function per
+pane. GPU columns become TPU HBM stats from device.memory_stats().
 """
 import time
 from collections import deque
@@ -12,41 +16,48 @@ from threading import Thread
 
 import numpy as np
 
-ROUND_OPEN = None
-c1 = '[bright_cyan]'
-c2 = '[white]'
-c3 = '[cyan]'
-b1 = '[bright_cyan]'
-b2 = '[bright_white]'
+# Markup theme. `accent` paints labels/borders, `dim` paints unit
+# suffixes and secondary text, `value` paints numbers, `soft` paints
+# the header gauges.
+THEME = {
+    'accent': '[bright_cyan]',
+    'dim': '[white]',
+    'soft': '[cyan]',
+    'value': '[bright_white]',
+}
+_A, _D, _S, _V = (THEME[k] for k in ('accent', 'dim', 'soft', 'value'))
+
+# (divisor, suffix) ladder for human-scale numbers, largest first.
+_MAGNITUDES = ((1e12, 't'), (1e9, 'b'), (1e6, 'm'), (1e3, 'k'))
+
+# (unit suffix, seconds per unit) ladder for durations, largest first.
+_TIME_UNITS = (('h', 3600), ('m', 60), ('s', 1))
 
 
 def abbreviate(num):
-    if num < 1e3:
-        return f'{b2}{num:.0f}'
-    if num < 1e6:
-        return f'{b2}{num/1e3:.1f}{c2}k'
-    if num < 1e9:
-        return f'{b2}{num/1e6:.1f}{c2}m'
-    if num < 1e12:
-        return f'{b2}{num/1e9:.1f}{c2}b'
-    return f'{b2}{num/1e12:.1f}{c2}t'
+    """1234567 -> '1.2m' (with theme markup around digits/suffix)."""
+    for divisor, suffix in _MAGNITUDES:
+        if num >= divisor:
+            return f'{_V}{num / divisor:.1f}{_D}{suffix}'
+    return f'{_V}{num:.0f}'
 
 
 def duration(seconds):
-    seconds = int(seconds)
-    h = seconds // 3600
-    m = (seconds % 3600) // 60
-    s = seconds % 60
-    if h:
-        return f'{b2}{h}{c2}h {b2}{m}{c2}m {b2}{s}{c2}s'
-    if m:
-        return f'{b2}{m}{c2}m {b2}{s}{c2}s'
-    return f'{b2}{s}{c2}s'
+    """Seconds -> 'Xh Ym Zs', omitting leading zero units."""
+    remaining = int(seconds)
+    parts = []
+    for suffix, size in _TIME_UNITS:
+        qty, remaining = divmod(remaining, size)
+        if parts or qty or suffix == 's':
+            parts.append(f'{_V}{qty}{_D}{suffix}')
+    return ' '.join(parts)
 
 
-def fmt_perf(name, t, uptime):
-    percent = 0 if uptime == 0 else int(100 * t / uptime - 1e-5)
-    return f'{c1}{name}', duration(t), f'{b2}{percent:2d}%'
+def _share(t, total):
+    """Integer percent of total, rounded down (0 when total is 0)."""
+    if total <= 0:
+        return 0
+    return min(int((t / total) * 100), 100)
 
 
 def device_memory_fraction():
@@ -62,7 +73,8 @@ def device_memory_fraction():
 
 
 class Utilization(Thread):
-    """Background sampler: host CPU/mem + device HBM (reference
+    """Daemon sampler of host CPU/mem + device HBM into fixed-length
+    deques, read by the dashboard header (reference behavior:
     clean_pufferl.py:484-507)."""
 
     def __init__(self, delay=1, maxlen=20):
@@ -96,101 +108,148 @@ def _mean(dq):
     return float(np.mean(dq)) if len(dq) else 0.0
 
 
+_BOX_CACHE = {}
+
+
+def _rounded_box():
+    """A rich Box with rounded corners and no interior rules, built
+    from its corner/edge glyphs rather than a pasted template."""
+    if 'round_open' not in _BOX_CACHE:
+        import rich.box
+        top = '╭──╮'    # rounded top corners
+        side = '│  │'             # vertical edges, open middle
+        bottom = '╰──╯'  # rounded bottom corners
+        rows = [top] + [side] * 6 + [bottom]
+        _BOX_CACHE['round_open'] = rich.box.Box('\n'.join(rows) + '\n')
+    return _BOX_CACHE['round_open']
+
+
+def _header_pane(Table, env_name, utilization):
+    header = Table(box=None, expand=True, show_header=False)
+    header.add_column(justify='left', width=30)
+    header.add_column(justify='center', width=12)
+    header.add_column(justify='center', width=12)
+    header.add_column(justify='right', width=13)
+    gauges = (
+        ('CPU', _mean(utilization.cpu_util)),
+        ('DRAM', _mean(utilization.cpu_mem)),
+        ('HBM', _mean(utilization.device_mem)),
+    )
+    header.add_row(
+        f':blowfish: {_A}PufferLib-TPU {_V}0.1',
+        *(f'{_A}{name}: {_S}{pct:.1f}%' for name, pct in gauges),
+    )
+    return header
+
+
+def _summary_pane(Table, env_name, global_step, epoch, profile):
+    pane = Table(box=None, expand=True)
+    pane.add_column(f'{_A}Summary', justify='left', vertical='top',
+        width=16)
+    pane.add_column(f'{_A}Value', justify='right', vertical='top',
+        width=8)
+    rows = (
+        ('Environment', f'{_V}{env_name}'),
+        ('Agent Steps', abbreviate(global_step)),
+        ('SPS', abbreviate(profile.SPS)),
+        ('Epoch', abbreviate(epoch)),
+        ('Uptime', duration(profile.uptime)),
+        ('Remaining', duration(profile.remaining)),
+    )
+    for label, value in rows:
+        pane.add_row(f'{_D}{label}', value)
+    return pane
+
+
+# Perf pane layout: (label, profile attribute). Indented labels are
+# sub-phases of the preceding top-level phase.
+_PERF_ROWS = (
+    ('Evaluate', 'eval_time'),
+    ('  Forward', 'eval_forward_time'),
+    ('  Env', 'env_time'),
+    ('  Misc', 'eval_misc_time'),
+    ('Train', 'train_time'),
+    ('  Forward', 'train_forward_time'),
+    ('  Learn', 'learn_time'),
+    ('  Misc', 'train_misc_time'),
+)
+
+
+def _perf_pane(Table, profile):
+    pane = Table(box=None, expand=True, show_header=False)
+    pane.add_column(f'{_A}Performance', justify='left', width=10)
+    pane.add_column(f'{_A}Time', justify='right', width=8)
+    pane.add_column(f'{_A}%', justify='right', width=4)
+    for label, attr in _PERF_ROWS:
+        t = getattr(profile, attr)
+        pane.add_row(f'{_A}{label}', duration(t),
+            f'{_V}{_share(t, profile.uptime):2d}%')
+    return pane
+
+
+def _losses_pane(Table, losses):
+    pane = Table(box=None, expand=True)
+    pane.add_column(f'{_A}Losses', justify='left', width=16)
+    pane.add_column(f'{_A}Value', justify='right', width=8)
+    for metric, value in losses.items():
+        pane.add_row(f'{_D}{metric}', f'{_V}{value:.3f}')
+    return pane
+
+
+def _stats_panes(Table, stats, max_stats):
+    """Two side-by-side User Stats columns; non-numeric values (media
+    objects etc.) are skipped. Pads to the tallest height seen so the
+    in-place redraw never leaves stale rows behind."""
+    columns = [Table(box=None, expand=True) for _ in range(2)]
+    for col in columns:
+        col.add_column(f'{_A}User Stats', justify='left', width=20)
+        col.add_column(f'{_A}Value', justify='right', width=10)
+    n = 0
+    for metric, value in stats.items():
+        try:
+            value = float(value)
+        except (TypeError, ValueError):
+            continue
+        columns[n % 2].add_row(f'{_D}{metric}', f'{_V}{value:.3f}')
+        n += 1
+    for pad in range(max_stats[0] - n):
+        columns[pad % 2].add_row('', '')
+    max_stats[0] = max(max_stats[0], n)
+    return columns
+
+
 def print_dashboard(env_name, utilization, global_step, epoch, profile,
         losses, stats, msg, clear=False, max_stats=[0]):
-    import rich
     from rich.console import Console
     from rich.table import Table
-
-    global ROUND_OPEN
-    if ROUND_OPEN is None:
-        ROUND_OPEN = rich.box.Box(
-            '╭──╮\n│  │\n│  │\n│  │\n│  │\n│  │\n│  │\n╰──╯\n')
 
     console = Console()
     if clear:
         console.clear()
 
-    dashboard = Table(box=ROUND_OPEN, expand=True, show_header=False,
+    frame = Table(box=_rounded_box(), expand=True, show_header=False,
         border_style='bright_cyan')
-
-    table = Table(box=None, expand=True, show_header=False)
-    dashboard.add_row(table)
-    table.add_column(justify='left', width=30)
-    table.add_column(justify='center', width=12)
-    table.add_column(justify='center', width=12)
-    table.add_column(justify='right', width=13)
-    table.add_row(
-        f':blowfish: {c1}PufferLib-TPU {b2}0.1',
-        f'{c1}CPU: {c3}{_mean(utilization.cpu_util):.1f}%',
-        f'{c1}DRAM: {c3}{_mean(utilization.cpu_mem):.1f}%',
-        f'{c1}HBM: {c3}{_mean(utilization.device_mem):.1f}%',
-    )
-
-    s = Table(box=None, expand=True)
-    s.add_column(f'{c1}Summary', justify='left', vertical='top', width=16)
-    s.add_column(f'{c1}Value', justify='right', vertical='top', width=8)
-    s.add_row(f'{c2}Environment', f'{b2}{env_name}')
-    s.add_row(f'{c2}Agent Steps', abbreviate(global_step))
-    s.add_row(f'{c2}SPS', abbreviate(profile.SPS))
-    s.add_row(f'{c2}Epoch', abbreviate(epoch))
-    s.add_row(f'{c2}Uptime', duration(profile.uptime))
-    s.add_row(f'{c2}Remaining', duration(profile.remaining))
-
-    p = Table(box=None, expand=True, show_header=False)
-    p.add_column(f'{c1}Performance', justify='left', width=10)
-    p.add_column(f'{c1}Time', justify='right', width=8)
-    p.add_column(f'{c1}%', justify='right', width=4)
-    p.add_row(*fmt_perf('Evaluate', profile.eval_time, profile.uptime))
-    p.add_row(*fmt_perf('  Forward', profile.eval_forward_time,
-        profile.uptime))
-    p.add_row(*fmt_perf('  Env', profile.env_time, profile.uptime))
-    p.add_row(*fmt_perf('  Misc', profile.eval_misc_time, profile.uptime))
-    p.add_row(*fmt_perf('Train', profile.train_time, profile.uptime))
-    p.add_row(*fmt_perf('  Forward', profile.train_forward_time,
-        profile.uptime))
-    p.add_row(*fmt_perf('  Learn', profile.learn_time, profile.uptime))
-    p.add_row(*fmt_perf('  Misc', profile.train_misc_time, profile.uptime))
-
-    l = Table(box=None, expand=True)
-    l.add_column(f'{c1}Losses', justify='left', width=16)
-    l.add_column(f'{c1}Value', justify='right', width=8)
-    for metric, value in losses.items():
-        l.add_row(f'{c2}{metric}', f'{b2}{value:.3f}')
+    frame.add_row(_header_pane(Table, env_name, utilization))
 
     monitor = Table(box=None, expand=True, pad_edge=False)
-    monitor.add_row(s, p, l)
-    dashboard.add_row(monitor)
+    monitor.add_row(
+        _summary_pane(Table, env_name, global_step, epoch, profile),
+        _perf_pane(Table, profile),
+        _losses_pane(Table, losses),
+    )
+    frame.add_row(monitor)
 
-    table = Table(box=None, expand=True, pad_edge=False)
-    dashboard.add_row(table)
-    left = Table(box=None, expand=True)
-    right = Table(box=None, expand=True)
-    table.add_row(left, right)
-    left.add_column(f'{c1}User Stats', justify='left', width=20)
-    left.add_column(f'{c1}Value', justify='right', width=10)
-    right.add_column(f'{c1}User Stats', justify='left', width=20)
-    right.add_column(f'{c1}Value', justify='right', width=10)
-    i = 0
-    for metric, value in stats.items():
-        try:
-            float(value)
-        except (TypeError, ValueError):
-            continue
-        u = left if i % 2 == 0 else right
-        u.add_row(f'{c2}{metric}', f'{b2}{value:.3f}')
-        i += 1
-    for j in range(max_stats[0] - i):
-        u = left if j % 2 == 0 else right
-        u.add_row('', '')
-    max_stats[0] = max(max_stats[0], i)
+    user = Table(box=None, expand=True, pad_edge=False)
+    user.add_row(*_stats_panes(Table, stats, max_stats))
+    frame.add_row(user)
 
-    table = Table(box=None, expand=True, pad_edge=False)
-    dashboard.add_row(table)
-    table.add_row(f' {c1}Message: {c2}{msg}')
+    footer = Table(box=None, expand=True, pad_edge=False)
+    footer.add_row(f' {_A}Message: {_D}{msg}')
+    frame.add_row(footer)
 
     with console.capture() as capture:
-        console.print(dashboard)
+        console.print(frame)
+    # Repaint in place: jump the cursor home, then draw the new frame.
     print('\033[0;0H' + capture.get())
 
 

@@ -495,6 +495,10 @@ def make_minibatch_update(policy, tx, config, seg_rows, obs_shape=None,
 
         grads, stats = jax.grad(loss_fn, has_aux=True)(params)
         gnorm = optax.global_norm(grads)
+        # pre-clip global grad norm: a healthy-training signal the
+        # multichip dryrun asserts nonzero (a sharding bug that zeroes
+        # a batch would otherwise still print finite losses)
+        stats = dict(stats, grad_norm=gnorm)
         scale = jnp.minimum(1.0, config.max_grad_norm / (gnorm + 1e-12))
         grads = jax.tree.map(lambda g: g * scale, grads)
         updates, new_opt = tx.update(grads, opt_state, params)
@@ -679,6 +683,7 @@ def make_update_fn(policy, tx, config, T, total_agents, num_minibatches,
         var_y = jnp.var(y_true)
         mean_stats['explained_variance'] = jnp.where(
             var_y == 0, jnp.nan, 1 - jnp.var(y_true - y_pred) / var_y)
+        mean_stats['adv_var'] = jnp.var(advantages)
         return params, opt_state, mean_stats
 
     return update

@@ -455,6 +455,7 @@ def train(data):
         var_y = np.var(returns)
         losses.explained_variance = float('nan') if var_y == 0 else \
             1 - float(np.var(returns - values_np)) / var_y
+        losses.adv_var = float(np.var(advantages))
         data.losses = losses
         data.epoch += 1
         data.last_lr = lr

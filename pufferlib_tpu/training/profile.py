@@ -19,6 +19,8 @@ def make_losses():
         approx_kl=0.0,
         clipfrac=0.0,
         explained_variance=0.0,
+        grad_norm=0.0,
+        adv_var=0.0,
     )
 
 
