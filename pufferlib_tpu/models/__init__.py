@@ -215,16 +215,16 @@ class LSTMWrapper(nn.Module):
         # activation scratch, leaving only the dh chain in the reverse
         # loop. Measured 18.7 -> 20.5M LSTM SPS in-trainer. Needs the
         # encoder_features/encoder_params contract — silently falls
-        # back to 'cat' when absent. Variants: 'enc4' (hoisted grads,
-        # in-loop recompute), 'enc' (everything in-loop), 'enc2'/
-        # 'enc3' (slower hoists, kept for the record), 'cat' (combined
+        # back to 'cat' when absent. Fallbacks: 'enc' (same fusion,
+        # conservative everything-in-loop backward), 'cat' (combined
         # gate matmul, encoder outside), 'fused' (projection inside,
-        # separate gate matmuls), 'xp' (projection outside), 'tm'
-        # (experimental time-major grid)
+        # separate gate matmuls), 'xp' (projection outside, pure-XLA
+        # scan path also used when pallas is off). The intermediate
+        # campaign steps (enc2/enc3/enc4/tm) live in
+        # ops/pallas/archive/ with docs/PERF.md as the record.
         kernel_kind = os.environ.get('PUFFER_LSTM_KERNEL', 'enc5') \
             if use_pallas else None
-        fuse_enc = (kernel_kind in ('enc', 'enc2', 'enc3', 'enc4',
-            'enc5') and T > 1
+        fuse_enc = (kernel_kind in ('enc', 'enc5') and T > 1
             and self.num_layers == 1 and not self.is_initializing()
             and hasattr(self.policy, 'encoder_features')
             and hasattr(self.policy, 'encoder_params'))
@@ -304,16 +304,7 @@ class LSTMWrapper(nn.Module):
             if use_pallas:
                 # kernel_kind/fuse_enc chosen above (docstring there)
                 if fuse_enc and layer == 0:
-                    if kernel_kind == 'enc2':
-                        from pufferlib_tpu.ops.pallas.lstm_enc2 import (
-                            lstm_scan_enc2 as lstm_scan_enc)
-                    elif kernel_kind == 'enc3':
-                        from pufferlib_tpu.ops.pallas.lstm_enc3 import (
-                            lstm_scan_enc3 as lstm_scan_enc)
-                    elif kernel_kind == 'enc4':
-                        from pufferlib_tpu.ops.pallas.lstm_enc4 import (
-                            lstm_scan_enc4 as lstm_scan_enc)
-                    elif kernel_kind == 'enc5':
+                    if kernel_kind == 'enc5':
                         from pufferlib_tpu.ops.pallas.lstm_enc5 import (
                             lstm_scan_enc5 as lstm_scan_enc)
                     else:
@@ -334,8 +325,7 @@ class LSTMWrapper(nn.Module):
                     hs.append(h_fin)
                     cs.append(c_fin)
                     continue
-                elif kernel_kind in ('enc', 'enc2', 'enc3', 'enc4',
-                        'enc5', 'cat'):
+                elif kernel_kind in ('enc', 'enc5', 'cat'):
                     from pufferlib_tpu.ops.pallas.lstm_cat import (
                         lstm_scan_cat)
                     outs, h_fin, c_fin = lstm_scan_cat(
@@ -359,11 +349,6 @@ class LSTMWrapper(nn.Module):
                     hs.append(h_fin)
                     cs.append(c_fin)
                     continue
-                elif kernel_kind == 'tm':
-                    # experimental time-major-grid kernel (one big
-                    # matmul per timestep; ops/pallas/lstm_tm.py)
-                    from pufferlib_tpu.ops.pallas.lstm_tm import (
-                        lstm_scan_tm as lstm_scan)
                 else:
                     from pufferlib_tpu.ops.pallas.lstm import lstm_scan
                 # project the time-major INPUT (the (B,T,in) move, when

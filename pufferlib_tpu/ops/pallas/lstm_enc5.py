@@ -31,10 +31,12 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-from pufferlib_tpu.ops.pallas.lstm_cat import _act
+from pufferlib_tpu.ops.pallas.lstm import _tile_budget
+from pufferlib_tpu.ops.pallas.lstm_cat import _act, _compiler_params
 from pufferlib_tpu.ops.pallas import lstm_enc as _enc
-from pufferlib_tpu.ops.pallas import lstm_enc4 as _enc4
+from pufferlib_tpu.ops.pallas.lstm_enc import _lanes
 
 
 def _bwd_kernel(f_ref, h0_ref, c0_ref, we_ref, be_ref, w_ref, b_ref,
@@ -135,12 +137,92 @@ def lstm_scan_enc5(feats, h0, c0, w_enc, b_enc, w_ih, w_hh, b,
         with_cseq=False)[:3]
 
 
+def _fwd(feats, h0, c0, w_enc, b_enc, w_ih, w_hh, b, cdt):
+    outs, hT, cT, cseq = _enc._impl(feats, h0, c0, w_enc, b_enc, w_ih,
+        w_hh, b, cdt, with_cseq=True)
+    return (outs, hT, cT), (feats, h0, c0, w_enc, b_enc, w_ih, w_hh,
+        b, outs, cseq)
+
+
+def _hoisted_bwd(kernel_body, cdt, residuals, grads):
+    """Shared pallas_call driver for the hoisted-grad backward family:
+    the kernel takes the same refs and two scratch slabs — (T*bt, D)
+    encoded-x plus one (T*bt, 4H) slab (acts-then-dgates here; pure
+    dgates in the archived enc4 variant) — so the spec/shape block
+    lives once."""
+    feats, h0, c0, w_enc, b_enc, w_ih, w_hh, b, outs, cseq = residuals
+    g_outs, g_hT, g_cT = grads
+    T, B, F = feats.shape
+    D = w_enc.shape[-1]
+    H = h0.shape[-1]
+    w = jnp.concatenate([w_ih, w_hh], axis=0)
+    fb = feats.dtype.itemsize
+    rb = outs.dtype.itemsize
+
+    def bwd_bytes(bt):
+        seqs = T * bt * (_lanes(F) * fb + 3 * H * rb)
+        weights = 2 * (F * D + (D + H + 1) * 4 * H) * 4
+        states = 8 * bt * H * 4
+        # scratch (x slab + dgates slab) is single-buffered — halve it
+        # so _tile_budget's 2x double-buffer estimate stays honest
+        scratch = T * bt * (D + 4 * H) * rb // 2
+        return seqs + weights + states + scratch
+
+    bt = _tile_budget(B, 'PUFFER_LSTM_TILE_BWD', bwd_bytes)
+    grid = (B // bt,)
+    vm = pltpu.VMEM
+    rdt = jnp.bfloat16 if cdt == jnp.bfloat16 else jnp.float32
+    be2 = b_enc.reshape(1, D)
+    b2 = b.reshape(1, 4 * H)
+    seq_h = pl.BlockSpec((T, bt, H), lambda i: (0, i, 0),
+        memory_space=vm)
+    state_spec = pl.BlockSpec((bt, H), lambda i: (i, 0), memory_space=vm)
+    kernel = functools.partial(kernel_body, T=T, cdt=cdt)
+    dh0, dc0, dwe, dbe, dw, db = pl.pallas_call(
+        kernel, grid=grid, compiler_params=_compiler_params(),
+        scratch_shapes=[pltpu.VMEM((T * bt, D), rdt),
+            pltpu.VMEM((T * bt, 4 * H), rdt)],
+        in_specs=[
+            pl.BlockSpec((T, bt, F), lambda i: (0, i, 0),
+                memory_space=vm),
+            state_spec, state_spec,
+            pl.BlockSpec((F, D), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((D + H, 4 * H), lambda i: (0, 0),
+                memory_space=vm),
+            pl.BlockSpec((1, 4 * H), lambda i: (0, 0), memory_space=vm),
+            seq_h, seq_h, seq_h,
+            state_spec, state_spec,
+        ],
+        out_specs=[
+            state_spec, state_spec,
+            pl.BlockSpec((F, D), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((D + H, 4 * H), lambda i: (0, 0),
+                memory_space=vm),
+            pl.BlockSpec((1, 4 * H), lambda i: (0, 0), memory_space=vm),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((F, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((D + H, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((1, 4 * H), jnp.float32),
+        ],
+    )(feats, h0, c0, w_enc, be2, w, b2, outs, cseq, g_outs, g_hT,
+        g_cT)
+    return (jnp.zeros_like(feats), dh0, dc0,
+        dwe.astype(w_enc.dtype), dbe.reshape(D).astype(b_enc.dtype),
+        dw[:D].astype(w_ih.dtype), dw[D:].astype(w_hh.dtype),
+        db.reshape(4 * H).astype(b.dtype))
+
+
 def _bwd(cdt, residuals, grads):
-    # shared hoisted-grad driver (lstm_enc4._hoisted_bwd): enc5's only
-    # difference is the kernel body — acts/dgates share one scratch slab
-    # and the single-buffered budget halving covers the pre-pass xh_all
-    # temporary too
-    return _enc4._hoisted_bwd(_bwd_kernel, cdt, residuals, grads)
+    # enc5's only difference from the archived enc4 is the kernel body
+    # — acts/dgates share one scratch slab and the single-buffered
+    # budget halving covers the pre-pass xh_all temporary too
+    return _hoisted_bwd(_bwd_kernel, cdt, residuals, grads)
 
 
-lstm_scan_enc5.defvjp(_enc4._fwd, _bwd)
+lstm_scan_enc5.defvjp(_fwd, _bwd)

@@ -70,45 +70,6 @@ def test_pallas_lstm_scan_matches_reference():
         assert jnp.allclose(a, b, atol=5e-4), float(jnp.abs(a - b).max())
 
 
-def test_pallas_lstm_time_major_matches_reference():
-    """Experimental time-major-grid kernel (ops/pallas/lstm_tm.py):
-    forward and custom-VJP backward match the pure-JAX scan."""
-    import jax
-    import jax.numpy as jnp
-    from jax.experimental.pallas import tpu as pltpu
-    from pufferlib_tpu.ops.pallas.lstm import lstm_scan_reference
-    from pufferlib_tpu.ops.pallas.lstm_tm import lstm_scan_tm
-
-    T, B, H = 5, 16, 8
-    rng = np.random.RandomState(3)
-    xp = jnp.asarray(rng.randn(T, B, 4 * H).astype(np.float32) * 0.3)
-    h0 = jnp.asarray(rng.randn(B, H).astype(np.float32) * 0.2)
-    c0 = jnp.asarray(rng.randn(B, H).astype(np.float32) * 0.2)
-    whh = jnp.asarray(rng.randn(H, 4 * H).astype(np.float32) * 0.2)
-
-    with pltpu.force_tpu_interpret_mode():
-        outs, hT, cT = lstm_scan_tm(xp, h0, c0, whh, jnp.float32)
-        ro, rh, rc = lstm_scan_reference(xp, h0, c0, whh)
-        assert np.allclose(np.asarray(outs), np.asarray(ro), atol=1e-6)
-        assert np.allclose(np.asarray(hT), np.asarray(rh), atol=1e-6)
-        assert np.allclose(np.asarray(cT), np.asarray(rc), atol=1e-6)
-
-        def loss(fn):
-            def f(xp, h0, c0, w):
-                o, h, c = fn(xp, h0, c0, w) if fn is lstm_scan_reference \
-                    else fn(xp, h0, c0, w, jnp.float32)
-                return (jnp.sum(o * 0.7) + jnp.sum(h * 1.3)
-                    + jnp.sum(c * 0.5))
-            return f
-
-        g_tm = jax.grad(loss(lstm_scan_tm), argnums=(0, 1, 2, 3))(
-            xp, h0, c0, whh)
-        g_rf = jax.grad(loss(lstm_scan_reference), argnums=(0, 1, 2, 3))(
-            xp, h0, c0, whh)
-        for a, b in zip(g_tm, g_rf):
-            assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
-
-
 def test_pallas_lstm_fused_projection_matches_reference():
     """Fused-projection kernel (lstm_scan_fused): the x @ W_ih + b
     projection runs inside the kernel; forward and custom-VJP backward
@@ -244,100 +205,6 @@ def test_pallas_lstm_enc_matches_reference():
         assert jnp.allclose(a, bb, atol=5e-4), float(jnp.abs(a - bb).max())
 
 
-def test_pallas_lstm_enc2_matches_reference():
-    """Hoisted-matmul variant (lstm_scan_enc2): encoder + input
-    projection as per-tile pre-passes, weight grads as single tall
-    post-pass matmuls. Measured slower than lstm_scan_enc in-trainer
-    (15.8M vs 18.8M SPS, docs/PERF.md) but kept selectable; numerics
-    must still match the reference exactly."""
-    import jax
-    import jax.numpy as jnp
-    from jax.experimental.pallas import tpu as pltpu
-    from pufferlib_tpu.ops.pallas.lstm_enc import lstm_scan_enc_reference
-    from pufferlib_tpu.ops.pallas.lstm_enc2 import lstm_scan_enc2
-
-    T, B, F, D, H = 3, 16, 49, 96, 128
-    k = jax.random.split(jax.random.PRNGKey(7), 8)
-    feats = jax.random.normal(k[0], (T, B, F), jnp.float32) * 0.5
-    h0 = jax.random.normal(k[1], (B, H), jnp.float32) * 0.1
-    c0 = jax.random.normal(k[2], (B, H), jnp.float32) * 0.1
-    we = jax.random.normal(k[3], (F, D), jnp.float32) * 0.1
-    be = jax.random.normal(k[4], (D,), jnp.float32) * 0.1
-    wih = jax.random.normal(k[5], (D, 4 * H), jnp.float32) * 0.1
-    whh = jax.random.normal(k[6], (H, 4 * H), jnp.float32) * 0.1
-    b = jax.random.normal(k[7], (4 * H,), jnp.float32) * 0.1
-    args = (feats, h0, c0, we, be, wih, whh, b)
-
-    with pltpu.force_tpu_interpret_mode():
-        outs_p, hT_p, cT_p = lstm_scan_enc2(*args, jnp.float32)
-    outs_r, hT_r, cT_r = lstm_scan_enc_reference(*args, jnp.float32)
-    assert jnp.allclose(outs_p, outs_r, atol=1e-5)
-    assert jnp.allclose(hT_p, hT_r, atol=1e-5)
-    assert jnp.allclose(cT_p, cT_r, atol=1e-5)
-
-    def loss(fn):
-        def f(*a):
-            o, h, c = fn(*a, jnp.float32)
-            return jnp.sum(o ** 2) + jnp.sum(h * c) + jnp.sum(o * 0.3)
-        return f
-
-    with pltpu.force_tpu_interpret_mode():
-        gp = jax.grad(loss(lstm_scan_enc2),
-            argnums=(1, 2, 3, 4, 5, 6, 7))(*args)
-    gr = jax.grad(loss(lstm_scan_enc_reference),
-        argnums=(1, 2, 3, 4, 5, 6, 7))(*args)
-    for a, bb in zip(gp, gr):
-        assert a.shape == bb.shape
-        assert jnp.allclose(a, bb, atol=5e-4), float(jnp.abs(a - bb).max())
-
-
-def test_pallas_lstm_enc3_matches_reference():
-    """Hoisted-bwd-recompute variant (lstm_scan_enc3): gate recompute
-    + activations batched into one pre-pass before the reverse loop.
-    Measured slower than lstm_scan_enc in-trainer (15.3M vs 18.8M SPS,
-    docs/PERF.md) but kept selectable; numerics must still match the
-    reference exactly."""
-    import jax
-    import jax.numpy as jnp
-    from jax.experimental.pallas import tpu as pltpu
-    from pufferlib_tpu.ops.pallas.lstm_enc import lstm_scan_enc_reference
-    from pufferlib_tpu.ops.pallas.lstm_enc3 import lstm_scan_enc3
-
-    T, B, F, D, H = 3, 16, 49, 96, 128
-    k = jax.random.split(jax.random.PRNGKey(7), 8)
-    feats = jax.random.normal(k[0], (T, B, F), jnp.float32) * 0.5
-    h0 = jax.random.normal(k[1], (B, H), jnp.float32) * 0.1
-    c0 = jax.random.normal(k[2], (B, H), jnp.float32) * 0.1
-    we = jax.random.normal(k[3], (F, D), jnp.float32) * 0.1
-    be = jax.random.normal(k[4], (D,), jnp.float32) * 0.1
-    wih = jax.random.normal(k[5], (D, 4 * H), jnp.float32) * 0.1
-    whh = jax.random.normal(k[6], (H, 4 * H), jnp.float32) * 0.1
-    b = jax.random.normal(k[7], (4 * H,), jnp.float32) * 0.1
-    args = (feats, h0, c0, we, be, wih, whh, b)
-
-    with pltpu.force_tpu_interpret_mode():
-        outs_p, hT_p, cT_p = lstm_scan_enc3(*args, jnp.float32)
-    outs_r, hT_r, cT_r = lstm_scan_enc_reference(*args, jnp.float32)
-    assert jnp.allclose(outs_p, outs_r, atol=1e-5)
-    assert jnp.allclose(hT_p, hT_r, atol=1e-5)
-    assert jnp.allclose(cT_p, cT_r, atol=1e-5)
-
-    def loss(fn):
-        def f(*a):
-            o, h, c = fn(*a, jnp.float32)
-            return jnp.sum(o ** 2) + jnp.sum(h * c) + jnp.sum(o * 0.3)
-        return f
-
-    with pltpu.force_tpu_interpret_mode():
-        gp = jax.grad(loss(lstm_scan_enc3),
-            argnums=(1, 2, 3, 4, 5, 6, 7))(*args)
-    gr = jax.grad(loss(lstm_scan_enc_reference),
-        argnums=(1, 2, 3, 4, 5, 6, 7))(*args)
-    for a, bb in zip(gp, gr):
-        assert a.shape == bb.shape
-        assert jnp.allclose(a, bb, atol=5e-4), float(jnp.abs(a - bb).max())
-
-
 def test_pallas_lstm_enc5_matches_reference():
     """Batched-recompute + hoisted-grads variant (lstm_scan_enc5): the
     acts and dgates share one scratch slab; pre/post tall matmuls do
@@ -376,52 +243,6 @@ def test_pallas_lstm_enc5_matches_reference():
 
     with pltpu.force_tpu_interpret_mode():
         gp = jax.grad(loss(lstm_scan_enc5),
-            argnums=(1, 2, 3, 4, 5, 6, 7))(*args)
-    gr = jax.grad(loss(lstm_scan_enc_reference),
-        argnums=(1, 2, 3, 4, 5, 6, 7))(*args)
-    for a, bb in zip(gp, gr):
-        assert a.shape == bb.shape
-        assert jnp.allclose(a, bb, atol=5e-4), float(jnp.abs(a - bb).max())
-
-
-def test_pallas_lstm_enc4_matches_reference():
-    """Hoisted weight-grad variant (lstm_scan_enc4): the reverse loop
-    keeps only the gate recompute and the dh chain; dw/db/dx and the
-    encoder backward run as tall post-loop matmuls over the stored
-    dgates slab. Numerics must match the pure-JAX reference."""
-    import jax
-    import jax.numpy as jnp
-    from jax.experimental.pallas import tpu as pltpu
-    from pufferlib_tpu.ops.pallas.lstm_enc import lstm_scan_enc_reference
-    from pufferlib_tpu.ops.pallas.lstm_enc4 import lstm_scan_enc4
-
-    T, B, F, D, H = 3, 16, 49, 96, 128
-    k = jax.random.split(jax.random.PRNGKey(11), 8)
-    feats = jax.random.normal(k[0], (T, B, F), jnp.float32) * 0.5
-    h0 = jax.random.normal(k[1], (B, H), jnp.float32) * 0.1
-    c0 = jax.random.normal(k[2], (B, H), jnp.float32) * 0.1
-    we = jax.random.normal(k[3], (F, D), jnp.float32) * 0.1
-    be = jax.random.normal(k[4], (D,), jnp.float32) * 0.1
-    wih = jax.random.normal(k[5], (D, 4 * H), jnp.float32) * 0.1
-    whh = jax.random.normal(k[6], (H, 4 * H), jnp.float32) * 0.1
-    b = jax.random.normal(k[7], (4 * H,), jnp.float32) * 0.1
-    args = (feats, h0, c0, we, be, wih, whh, b)
-
-    with pltpu.force_tpu_interpret_mode():
-        outs_p, hT_p, cT_p = lstm_scan_enc4(*args, jnp.float32)
-    outs_r, hT_r, cT_r = lstm_scan_enc_reference(*args, jnp.float32)
-    assert jnp.allclose(outs_p, outs_r, atol=1e-5)
-    assert jnp.allclose(hT_p, hT_r, atol=1e-5)
-    assert jnp.allclose(cT_p, cT_r, atol=1e-5)
-
-    def loss(fn):
-        def f(*a):
-            o, h, c = fn(*a, jnp.float32)
-            return jnp.sum(o ** 2) + jnp.sum(h * c) + jnp.sum(o * 0.3)
-        return f
-
-    with pltpu.force_tpu_interpret_mode():
-        gp = jax.grad(loss(lstm_scan_enc4),
             argnums=(1, 2, 3, 4, 5, 6, 7))(*args)
     gr = jax.grad(loss(lstm_scan_enc_reference),
         argnums=(1, 2, 3, 4, 5, 6, 7))(*args)

@@ -112,13 +112,13 @@ def main():
         if name not in want:
             continue
         if name == 'enc2':
-            from pufferlib_tpu.ops.pallas.lstm_enc2 import (
+            from pufferlib_tpu.ops.pallas.archive.lstm_enc2 import (
                 lstm_scan_enc2 as scan)
         elif name == 'enc3':
-            from pufferlib_tpu.ops.pallas.lstm_enc3 import (
+            from pufferlib_tpu.ops.pallas.archive.lstm_enc3 import (
                 lstm_scan_enc3 as scan)
         elif name == 'enc4':
-            from pufferlib_tpu.ops.pallas.lstm_enc4 import (
+            from pufferlib_tpu.ops.pallas.archive.lstm_enc4 import (
                 lstm_scan_enc4 as scan)
         else:
             from pufferlib_tpu.ops.pallas.lstm_enc5 import (
