@@ -5,7 +5,7 @@ from pufferlib_tpu.environment import EpisodeStats
 from pufferlib_tpu.ocean import ocean
 from pufferlib_tpu.ocean.ocean import (
     Bandit, Memory, Multiagent, Password, Performance, PerformanceEmpiric,
-    Spaces, Squared, Stochastic,
+    Spaces, Squared, Stochastic, VisualTarget,
 )
 
 
@@ -61,6 +61,12 @@ def make_multiagent(episode_stats=True):
     return EpisodeStats(env) if episode_stats else env
 
 
+def make_visual(grid_size=10, cell_px=4, horizon=32, episode_stats=True):
+    env = VisualTarget(grid_size=grid_size, cell_px=cell_px,
+        horizon=horizon)
+    return EpisodeStats(env) if episode_stats else env
+
+
 _CREATORS = {
     'squared': make_squared,
     'bandit': make_bandit,
@@ -71,6 +77,7 @@ _CREATORS = {
     'stochastic': make_stochastic,
     'spaces': make_spaces,
     'multiagent': make_multiagent,
+    'visual': make_visual,
 }
 
 

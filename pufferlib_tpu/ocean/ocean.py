@@ -495,3 +495,93 @@ class Stochastic(PufferEnv):
         return Step(dict(tick=tick, count=count),
             jnp.zeros(1, jnp.float32), reward, terminal,
             jnp.bool_(False), info)
+
+
+class VisualTarget(PufferEnv):
+    """Pixel-observation navigation: CNN learning-proof micro-env.
+
+    The agent and a target sit on a grid_size x grid_size grid, each
+    rendered as a cell_px x cell_px block in its own image channel
+    (uint8, torch NCHW layout so the same bytes feed the reference
+    torch Convolutional, reference models.py:113-157, and this repo's
+    flax Convolutional). Actions move the agent one cell; reward is
+    shaped on Manhattan-distance decrease plus a terminal bonus on
+    reaching the target. A policy can only solve it by *localizing
+    both blobs from pixels* — the conv path's learnability fixture
+    (the reference proves its CNN on Atari, which this image cannot
+    install; this env carries the same burden device-natively).
+
+    Renders entirely with iota-compare masks and outer products: no
+    scatters, so thousands of envs fuse into one vmapped XLA program.
+    """
+
+    MOVES = np.array(
+        [(0, 0), (-1, 0), (1, 0), (0, -1), (0, 1)], dtype=np.int32)
+
+    info_spec = {'score': {'dtype': jnp.float32}}
+
+    def __init__(self, grid_size=10, cell_px=4, horizon=32):
+        self.grid_size = grid_size
+        self.cell_px = cell_px
+        self.horizon = horizon
+        px = grid_size * cell_px
+        self.observation_space = spaces.Box(
+            low=0, high=255, shape=(2, px, px), dtype=np.uint8)
+        self.action_space = spaces.Discrete(5)
+        self.render_mode = 'ansi'
+        # pixel row/col -> grid cell (static)
+        self._px_cell = np.arange(px, dtype=np.int32) // cell_px
+
+    def _obs(self, agent, target):
+        """(2, px, px) uint8: channel 0 agent block, channel 1 target."""
+        cell = jnp.asarray(self._px_cell)
+        def block(pos):
+            row = (cell == pos[0]).astype(jnp.uint8)
+            col = (cell == pos[1]).astype(jnp.uint8)
+            return 255 * row[:, None] * col[None, :]
+        return jnp.stack([block(agent), block(target)])
+
+    def reset(self, key):
+        k1, k2 = jax.random.split(key)
+        g = self.grid_size
+        agent = jax.random.randint(k1, (2,), 0, g, jnp.int32)
+        target = jax.random.randint(k2, (2,), 0, g, jnp.int32)
+        # collision: shift the target one column (wrapping) so start
+        # and goal are always distinct
+        same = jnp.all(agent == target)
+        target = jnp.where(same,
+            target.at[1].set((target[1] + 1) % g), target)
+        state = dict(agent=agent, target=target, tick=jnp.int32(0))
+        return state, self._obs(agent, target)
+
+    def step(self, state, action, key):
+        g = self.grid_size
+        agent, target = state['agent'], state['target']
+        onehot = jax.nn.one_hot(jnp.asarray(action, jnp.int32),
+            len(self.MOVES), dtype=jnp.int32)
+        new = jnp.clip(agent + onehot @ jnp.asarray(self.MOVES), 0, g - 1)
+
+        d_prev = jnp.sum(jnp.abs(agent - target))
+        d_new = jnp.sum(jnp.abs(new - target))
+        reached = d_new == 0
+        reward = 0.1 * (d_prev - d_new).astype(jnp.float32) \
+            + reached.astype(jnp.float32)
+
+        tick = state['tick'] + 1
+        done = reached | (tick >= self.horizon)
+        info = {'score': jnp.where(done,
+            reached.astype(jnp.float32), 0.0)}
+        new_state = dict(agent=new, target=target, tick=tick)
+        return Step(new_state, self._obs(new, target), reward, done,
+            jnp.bool_(False), info)
+
+    def render(self, state):
+        g = self.grid_size
+        grid = np.zeros((g, g), np.int32)
+        grid[tuple(np.asarray(state['target']))] = 1
+        grid[tuple(np.asarray(state['agent']))] = -1
+        rows = []
+        for row in grid:
+            rows.append(_render_blocks(
+                np.where(row == -1, 0, np.where(row == 1, 1, 2))))
+        return '\n'.join(rows) + '\n'

@@ -80,22 +80,30 @@ def test_spaces_beats_reference():
 
 
 def test_cartpole_learning_matches_reference():
-    """Real gymnasium CartPole through each side's host path, MLP,
-    identical reduced budget. Returns are high-variance; the contract
-    is that the repo learns at least comparably to the reference."""
-    budget = 131_072
-    hp = head_to_head.HP['cartpole']
-    old = hp['total_timesteps']
-    hp['total_timesteps'] = budget
-    try:
-        ref, repo = _band('cartpole', seeds=[1])
-    finally:
-        hp['total_timesteps'] = old
-    # random CartPole lasts ~22 steps; at this reduced budget the
-    # reference's own single-seed tail sits around 40-60 (the full
-    # 204.8k-step 3-seed table in docs/PARITY.md is the precise one),
-    # so the gate is "clearly above random and comparable":
+    """Real gymnasium CartPole through each side's host path, MLP, the
+    FULL 204.8k-step budget, 2 fresh seeds per side. Gates are
+    calibrated from the committed 5-seed full-budget matrix
+    (experiments/h2h_cartpole5.json, 2026-08-19): reference tail
+    84.9 ± 14.1 over seeds {69.9, 73.0, 83.8, 88.3, 109.7}; repo
+    71.1 ± 4.5 over {66.6 .. 77.8} — within 1σ of the reference's seed
+    spread; per-decile curves show the repo learning FASTER early and
+    the mean gap coming from two lucky reference tail seeds."""
+    ref, repo = _band('cartpole', seeds=[1, 2])
+    # committed 5-seed statistics (per side, full budget)
+    REF5_STD = 14.1
+    REPO5_MEAN, REPO5_STD = 71.1, 4.5
+
+    # both sides must clearly learn (random play lasts ~22 steps)
     random_play = 22.0
-    assert ref.mean() > 1.5 * random_play, f'reference did not learn: {ref}'
-    assert repo.mean() > 1.5 * random_play, f'repo did not learn: {repo}'
-    assert repo.mean() >= 0.55 * ref.mean(), (ref, repo)
+    assert ref.mean() > 2 * random_play, f'reference did not learn: {ref}'
+    assert repo.mean() > 2 * random_play, f'repo did not learn: {repo}'
+    # variance-calibrated parity: the fresh 2-seed repo mean must sit
+    # within 2 standard errors of the fresh reference mean, where the
+    # spread of a 2-seed mean difference is estimated from the
+    # committed per-side seed stds
+    se_diff = np.sqrt(REF5_STD ** 2 / 2 + REPO5_STD ** 2 / 2)
+    assert repo.mean() >= ref.mean() - 2.0 * se_diff, (ref, repo, se_diff)
+    # drift gate vs the repo's own committed level: a regression of
+    # >2.5 repo-sigmas from 71.1 fails even if the reference run is
+    # unlucky
+    assert repo.mean() >= REPO5_MEAN - 2.5 * REPO5_STD, (repo, REPO5_MEAN)

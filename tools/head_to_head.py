@@ -56,12 +56,17 @@ HP = {
     'cartpole': dict(total_timesteps=204_800, learning_rate=2.5e-4,
         num_envs=64, batch_size=1024, minibatch_size=512,
         bptt_horizon=16, use_rnn=False),
+    # conv path: each side's own NatureCNN on the pixel micro-env
+    # (tools/visual_env_ref.py twins pufferlib_tpu.ocean.VisualTarget)
+    'visual': dict(total_timesteps=262_144, learning_rate=1e-3,
+        num_envs=64, batch_size=4096, minibatch_size=1024,
+        bptt_horizon=16, use_rnn=False),
 }
 #: metric judged per env (ocean emits 'score' in [0,1]; cartpole only
 #: episode stats)
 METRIC = {'squared': 'score', 'password': 'score', 'stochastic': 'score',
     'memory': 'score', 'multiagent': 'score', 'spaces': 'score',
-    'cartpole': 'episode_return'}
+    'cartpole': 'episode_return', 'visual': 'score'}
 
 
 def extract_metric(env, side, stats):
@@ -143,17 +148,24 @@ def run_repo(env, seed):
         import pufferlib_tpu.vector as vector
         from pufferlib_tpu.ocean import env_creator
         from pufferlib_tpu.models import (
-            Default, LSTMWrapper, Policy, RecurrentPolicy)
+            Convolutional, Default, LSTMWrapper, Policy, RecurrentPolicy)
         from pufferlib_tpu.training import ppo
 
         vecenv = vector.make(env_creator(env), backend=vector.Device,
             num_envs=hp['num_envs'])
         obs_shape = vecenv.single_observation_space.shape
-        # emulated: trace-time nativize for Dict-obs envs (spaces);
-        # no-op for plain Box obs
-        module = Default(obs_shape=obs_shape,
-            action_space=vecenv.single_action_space, hidden_size=128,
-            emulated=vecenv.emulated)
+        if env == 'visual':
+            # conv path: NatureCNN sized like the reference side
+            # (tools/visual_env_ref.py Policy)
+            module = Convolutional(
+                action_space=vecenv.single_action_space,
+                framestack=2, flat_size=64, hidden_size=128)
+        else:
+            # emulated: trace-time nativize for Dict-obs envs (spaces);
+            # no-op for plain Box obs
+            module = Default(obs_shape=obs_shape,
+                action_space=vecenv.single_action_space, hidden_size=128,
+                emulated=vecenv.emulated)
         if hp['use_rnn']:
             policy = RecurrentPolicy(LSTMWrapper(policy=module,
                 obs_shape=obs_shape, input_size=128, hidden_size=128))

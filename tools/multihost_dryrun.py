@@ -1,19 +1,23 @@
-"""Two-process multi-host training dryrun.
+"""Multi-process multi-host training dryrun.
 
-Validates the REAL multi-host path end-to-end without a pod: spawns two
-local processes, each with 4 virtual CPU devices, joins them with
-`jax.distributed.initialize` (Gloo collectives), builds the global
-8-device mesh, and trains the fused PPO program with env-lane sharding
-for several epochs. The launcher then trains the identical config
-single-process on 8 local devices and asserts the losses and final
-params match — proving the GSPMD program is process-count invariant
-(SURVEY §4: "plan single-process mesh tests"; this goes one step
-beyond to 2 real processes).
+Validates the REAL multi-host path end-to-end without a pod: spawns N
+local processes (default 2x4, --procs 4 --devices-per-proc 2 for the
+4-process rehearsal), each with its own virtual CPU devices, joins them
+with `jax.distributed.initialize` (Gloo collectives), builds the global
+mesh, and trains the fused PPO program with env-lane sharding for
+several epochs. Env lanes shard per-process, so every rollout/update
+crosses the process (DCN-style) boundary through GSPMD collectives.
+The launcher then trains the identical config single-process on the
+same total device count and asserts the losses and final params match —
+proving the GSPMD program is process-count invariant (SURVEY §4: "plan
+single-process mesh tests"; this goes further, to 2 and 4 real
+processes).
 
 Usage:
-  python tools/multihost_dryrun.py              # launcher + comparison
+  python tools/multihost_dryrun.py                       # 2 procs x 4 dev
+  python tools/multihost_dryrun.py --procs 4 --devices-per-proc 2
   python tools/multihost_dryrun.py --process-id I --num-processes N \
-      --port P                                  # worker (internal)
+      --port P --devices-per-proc D                      # worker (internal)
 """
 import argparse
 import json
@@ -24,14 +28,12 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-DEVICES_PER_PROC = 4
 EPOCHS = 3
 
 
 def train_result(mesh, epochs=EPOCHS):
     """Build the mesh-sharded trainer (identical config regardless of
     process count) and run `epochs` fused epochs."""
-    import numpy as np
     import jax
     import pufferlib_tpu.vector as vector
     from pufferlib_tpu.models import Default, Policy
@@ -56,29 +58,34 @@ def train_result(mesh, epochs=EPOCHS):
     checksum = float(sum(float(jax.numpy.sum(jax.numpy.abs(
         leaf.astype(jax.numpy.float32))))
         for leaf in jax.tree.leaves(data.params)))
-    return {'losses': losses, 'param_checksum': checksum}
+    return {'losses': losses, 'param_checksum': checksum,
+        'grad_norm': float(data.losses.grad_norm),
+        'adv_var': float(data.losses.adv_var)}
 
 
-def run_worker(process_id, num_processes, port):
+def run_worker(process_id, num_processes, port, devices_per_proc):
     os.environ['XLA_FLAGS'] = (
-        f'--xla_force_host_platform_device_count={DEVICES_PER_PROC}')
+        f'--xla_force_host_platform_device_count={devices_per_proc}')
     import jax
     jax.config.update('jax_platforms', 'cpu')
     from pufferlib_tpu.parallel import global_mesh, init_distributed
     init_distributed(coordinator_address=f'localhost:{port}',
         num_processes=num_processes, process_id=process_id)
     assert jax.process_count() == num_processes, 'distributed init failed'
-    assert len(jax.devices()) == num_processes * DEVICES_PER_PROC
+    assert len(jax.devices()) == num_processes * devices_per_proc
     mesh = global_mesh('env')
     result = train_result(mesh)
     result['process_id'] = process_id
     result['process_count'] = jax.process_count()
+    # evidence that this process's devices hold only a slice of the env
+    # axis (per-process lanes over the DCN-style boundary)
+    result['local_devices'] = len(jax.local_devices())
     print('RESULT ' + json.dumps(result), flush=True)
 
 
-def run_single():
+def run_single(total_devices):
     os.environ['XLA_FLAGS'] = (
-        f'--xla_force_host_platform_device_count={2 * DEVICES_PER_PROC}')
+        f'--xla_force_host_platform_device_count={total_devices}')
     import jax
     jax.config.update('jax_platforms', 'cpu')
     from pufferlib_tpu.parallel import global_mesh
@@ -93,44 +100,59 @@ def _extract(output):
     raise RuntimeError(f'no RESULT line in output:\n{output}')
 
 
-def launch(port=29791):
+def launch(port=29791, procs=2, devices_per_proc=4, out=None):
     env = {k: v for k, v in os.environ.items() if k != 'XLA_FLAGS'}
     workers = [subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), '--process-id',
-         str(i), '--num-processes', '2', '--port', str(port)],
+         str(i), '--num-processes', str(procs), '--port', str(port),
+         '--devices-per-proc', str(devices_per_proc)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        env=env, cwd=REPO) for i in range(2)]
-    outs = [w.communicate(timeout=600)[0] for w in workers]
-    for w, out in zip(workers, outs):
+        env=env, cwd=REPO) for i in range(procs)]
+    outs = [w.communicate(timeout=900)[0] for w in workers]
+    for w, o in zip(workers, outs):
         if w.returncode != 0:
-            raise RuntimeError(f'worker failed:\n{out}')
+            raise RuntimeError(f'worker failed:\n{o}')
     multi = [_extract(o) for o in outs]
 
+    total = procs * devices_per_proc
     single_proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), '--single'],
-        capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
+        [sys.executable, os.path.abspath(__file__), '--single',
+         '--devices-per-proc', str(total)],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
     if single_proc.returncode != 0:
         raise RuntimeError(f'single failed:\n{single_proc.stdout}'
             f'\n{single_proc.stderr}')
     single = _extract(single_proc.stdout)
 
-    assert multi[0]['process_count'] == 2
-    # both workers see the same replicated result
-    assert multi[0]['losses'] == multi[1]['losses'], (multi[0], multi[1])
-    # 2-process result matches single-process (same global mesh program)
+    assert multi[0]['process_count'] == procs
+    for m in multi:
+        assert m['local_devices'] == devices_per_proc
+        # all workers see the same replicated result
+        assert m['losses'] == multi[0]['losses'], (m, multi[0])
+    # N-process result matches single-process (same global mesh program)
     for a, b in zip(multi[0]['losses'], single['losses']):
         assert abs(a - b) < 1e-4, (multi[0]['losses'], single['losses'])
     rel = abs(multi[0]['param_checksum'] - single['param_checksum']) \
         / max(abs(single['param_checksum']), 1e-9)
     assert rel < 1e-4, (multi[0]['param_checksum'],
         single['param_checksum'])
-    print(json.dumps({
+    # healthy-training signals, not just agreement (VERDICT r3 weak #2)
+    assert multi[0]['grad_norm'] > 0 and multi[0]['adv_var'] > 0, multi[0]
+    record = {
         'multihost_dryrun': 'OK',
-        'processes': 2,
-        'devices': 2 * DEVICES_PER_PROC,
-        'losses_2proc': multi[0]['losses'],
+        'processes': procs,
+        'devices_per_process': devices_per_proc,
+        'devices': total,
+        'losses_multiproc': multi[0]['losses'],
         'losses_1proc': single['losses'],
-    }))
+        'grad_norm': multi[0]['grad_norm'],
+        'adv_var': multi[0]['adv_var'],
+    }
+    print(json.dumps(record))
+    if out:
+        with open(out, 'w') as f:
+            json.dump(record, f, indent=1)
+    return record
 
 
 def main():
@@ -139,13 +161,17 @@ def main():
     ap.add_argument('--num-processes', type=int, default=2)
     ap.add_argument('--port', type=int, default=29791)
     ap.add_argument('--single', action='store_true')
+    ap.add_argument('--procs', type=int, default=2)
+    ap.add_argument('--devices-per-proc', type=int, default=4)
+    ap.add_argument('--out', default=None)
     args = ap.parse_args()
     if args.single:
-        run_single()
+        run_single(args.devices_per_proc)
     elif args.process_id is not None:
-        run_worker(args.process_id, args.num_processes, args.port)
+        run_worker(args.process_id, args.num_processes, args.port,
+            args.devices_per_proc)
     else:
-        launch(args.port)
+        launch(args.port, args.procs, args.devices_per_proc, args.out)
 
 
 if __name__ == '__main__':

@@ -117,6 +117,14 @@ PACKAGES = {
         train=dict(total_timesteps=500_000, num_envs=64,
             env_batch_size=64),
     ),
+    # conv-path h2h fixture (tools/visual_env_ref.py): the reference
+    # torch Convolutional on the pixel micro-env
+    'visual': dict(
+        use_rnn=False,
+        train=dict(total_timesteps=262_144, learning_rate=1e-3,
+            num_envs=64, env_batch_size=64, batch_size=4096,
+            minibatch_size=1024, bptt_horizon=16, device='cpu'),
+    ),
 }
 
 ENV_PACKAGE = {
@@ -124,6 +132,7 @@ ENV_PACKAGE = {
     'bandit': 'ocean', 'memory': 'ocean', 'multiagent': 'ocean',
     'spaces': 'ocean',
     'cartpole': 'classic_control',
+    'visual': 'visual',
 }
 
 
@@ -150,6 +159,8 @@ def train_reference(env_name, seed=1, quiet=True, **overrides):
 
     if pkg == 'ocean':
         from pufferlib.environments import ocean as env_module
+    elif pkg == 'visual':
+        import visual_env_ref as env_module
     else:
         from pufferlib.environments import classic_control as env_module
 
