@@ -104,7 +104,7 @@ class Default(nn.Module):
         """Pre-encoder features: flatten + nativize + dtype cast, NO
         Dense. Fused-kernel contract: encode_observations(x) ==
         (relu(encoder_features(x) @ k + b), None) with (k, b) from
-        encoder_params() — LSTMWrapper's PUFFER_LSTM_KERNEL=enc path
+        encoder_params() — LSTMWrapper's PUFFER_LSTM_KERNEL=enc5 path
         runs the Dense+relu inside the Pallas LSTM kernel."""
         batch = observations.shape[0]
         x = observations.reshape(batch, -1)
@@ -208,23 +208,32 @@ class LSTMWrapper(nn.Module):
         if use_pallas is None:
             use_pallas = (jax.default_backend() == 'tpu' and T > 1
                 and B % 8 == 0)
-        # 'enc5' (default): the encoder-fused combined-operand cell
-        # ('enc') with a restructured backward — gate recompute +
-        # activations run as one tall pre-pass matmul, dw/db/dx as
-        # tall post-loop matmuls over a dgates slab that shares the
-        # activation scratch, leaving only the dh chain in the reverse
-        # loop. Measured 18.7 -> 20.5M LSTM SPS in-trainer. Needs the
-        # encoder_features/encoder_params contract — silently falls
-        # back to 'cat' when absent. Fallbacks: 'enc' (same fusion,
-        # conservative everything-in-loop backward), 'cat' (combined
-        # gate matmul, encoder outside), 'fused' (projection inside,
-        # separate gate matmuls), 'xp' (projection outside, pure-XLA
-        # scan path also used when pallas is off). The intermediate
-        # campaign steps (enc2/enc3/enc4/tm) live in
-        # ops/pallas/archive/ with docs/PERF.md as the record.
+        # Production kernels are exactly two:
+        #   'enc5' (default) — encoder-fused combined-operand cell with
+        #     the hoisted backward (gate recompute + activations as one
+        #     tall pre-pass matmul, dw/db/dx as tall post-loop matmuls
+        #     over a dgates slab shared with the activation scratch;
+        #     only the dh chain stays in the reverse loop). Needs the
+        #     encoder_features/encoder_params contract.
+        #   'cat' — combined gate matmul, encoder outside the kernel;
+        #     the automatic fallback for policies without the contract
+        #     and the fastest such kernel measured (docs/PERF.md).
+        # 'off' forces the pure-XLA scan. The superseded campaign
+        # variants (xp/fused/enc and the archived enc2-enc4/tm) stay
+        # parity-tested as the infrastructure layers enc5 builds on
+        # (ops/pallas/, ops/pallas/archive/; record in docs/PERF.md)
+        # but are no longer selectable here.
         kernel_kind = os.environ.get('PUFFER_LSTM_KERNEL', 'enc5') \
-            if use_pallas else None
-        fuse_enc = (kernel_kind in ('enc', 'enc5') and T > 1
+            if use_pallas else 'off'
+        if kernel_kind not in ('enc5', 'cat', 'off'):
+            raise ValueError(
+                f'PUFFER_LSTM_KERNEL={kernel_kind!r}: production '
+                "kernels are 'enc5' (default), 'cat', or 'off'; the "
+                'superseded variants live in pufferlib_tpu/ops/pallas/ '
+                'as importable modules (see docs/PERF.md)')
+        if kernel_kind == 'off':
+            use_pallas = False
+        fuse_enc = (kernel_kind == 'enc5' and T > 1
             and self.num_layers == 1 and not self.is_initializing()
             and hasattr(self.policy, 'encoder_features')
             and hasattr(self.policy, 'encoder_params'))
@@ -304,12 +313,8 @@ class LSTMWrapper(nn.Module):
             if use_pallas:
                 # kernel_kind/fuse_enc chosen above (docstring there)
                 if fuse_enc and layer == 0:
-                    if kernel_kind == 'enc5':
-                        from pufferlib_tpu.ops.pallas.lstm_enc5 import (
-                            lstm_scan_enc5 as lstm_scan_enc)
-                    else:
-                        from pufferlib_tpu.ops.pallas.lstm_enc import (
-                            lstm_scan_enc)
+                    from pufferlib_tpu.ops.pallas.lstm_enc5 import (
+                        lstm_scan_enc5 as lstm_scan_enc)
                     w_enc, b_enc = self.policy.encoder_params()
                     # same contract the non-fused branch asserts on
                     # encode_observations' output: the encoder must
@@ -325,39 +330,17 @@ class LSTMWrapper(nn.Module):
                     hs.append(h_fin)
                     cs.append(c_fin)
                     continue
-                elif kernel_kind in ('enc', 'enc5', 'cat'):
-                    from pufferlib_tpu.ops.pallas.lstm_cat import (
-                        lstm_scan_cat)
-                    outs, h_fin, c_fin = lstm_scan_cat(
-                        to_tm(layer_in).astype(cdt), h0[layer],
-                        c0[layer], w_ih, w_hh, b, cdt)
-                    layer_in = to_tm(outs)
-                    hs.append(h_fin)
-                    cs.append(c_fin)
-                    continue
-                elif kernel_kind == 'fused':
-                    # input projection fused INTO the kernel: the
-                    # (T, B, 4H) x_proj never exists in HBM — at
-                    # production shapes it was the LSTM update's
-                    # largest memory stream (docs/PERF.md)
-                    from pufferlib_tpu.ops.pallas.lstm import (
-                        lstm_scan_fused)
-                    outs, h_fin, c_fin = lstm_scan_fused(
-                        to_tm(layer_in).astype(cdt), h0[layer],
-                        c0[layer], w_ih, w_hh, b, cdt)
-                    layer_in = to_tm(outs)
-                    hs.append(h_fin)
-                    cs.append(c_fin)
-                    continue
-                else:
-                    from pufferlib_tpu.ops.pallas.lstm import lstm_scan
-                # project the time-major INPUT (the (B,T,in) move, when
-                # needed at all, is 4x smaller than transposing the
-                # (B,T,4H) projection output would be)
-                xp_t = (to_tm(layer_in).astype(cdt)
-                    @ w_ih.astype(cdt)) + b.astype(cdt)  # (T, B, 4H)
-                outs, h_fin, c_fin = lstm_scan(
-                    xp_t, h0[layer], c0[layer], w_hh, cdt)
+                # combined-operand kernel: encoder (if any) runs
+                # outside; one [x|h] @ [W_ih;W_hh] gate matmul per step
+                from pufferlib_tpu.ops.pallas.lstm_cat import (
+                    lstm_scan_cat)
+                outs, h_fin, c_fin = lstm_scan_cat(
+                    to_tm(layer_in).astype(cdt), h0[layer],
+                    c0[layer], w_ih, w_hh, b, cdt)
+                layer_in = to_tm(outs)
+                hs.append(h_fin)
+                cs.append(c_fin)
+                continue
             else:
                 xp_t = (to_tm(layer_in).astype(cdt)
                     @ w_ih.astype(cdt)) + b.astype(cdt)  # (T, B, 4H)

@@ -57,21 +57,22 @@ class Experience:
             self.lstm_h = jnp.zeros(shape, jnp.float32)
             self.lstm_c = jnp.zeros(shape, jnp.float32)
 
-        num_minibatches = batch_size / minibatch_size
-        self.num_minibatches = int(num_minibatches)
-        if self.num_minibatches != num_minibatches:
+        if batch_size % minibatch_size:
             raise APIUsageError('batch_size must be divisible by '
                 'minibatch_size')
-        minibatch_rows = minibatch_size / bptt_horizon
-        self.minibatch_rows = int(minibatch_rows)
-        if self.minibatch_rows != minibatch_rows:
+        if minibatch_size % bptt_horizon:
             raise APIUsageError('minibatch_size must be divisible by '
                 'bptt_horizon')
+        self.num_minibatches = batch_size // minibatch_size
+        self.minibatch_rows = minibatch_size // bptt_horizon
 
         self.batch_size = batch_size
         self.bptt_horizon = bptt_horizon
         self.minibatch_size = minibatch_size
-        self.sort_keys = []
+        # parallel sort-key arrays filled alongside the data rows;
+        # sort_training_data lexsorts them into (agent, time) order
+        self.key_agent = np.zeros(batch_size, np.int64)
+        self.key_step = np.zeros(batch_size, np.int64)
         self.ptr = 0
         self.step = 0
         # per-agent stored-row counts + LSTM state snapshots at BPTT
@@ -96,7 +97,8 @@ class Experience:
         self.logprobs[ptr:end] = logprob[indices]
         self.rewards[ptr:end] = reward[indices]
         self.dones[ptr:end] = done[indices]
-        self.sort_keys.extend([(env_id[i], self.step) for i in indices])
+        self.key_agent[ptr:end] = env_id[indices]
+        self.key_step[ptr:end] = self.step
         if self.lstm_h is not None:
             h = self.bptt_horizon
             for i in indices:
@@ -111,15 +113,14 @@ class Experience:
         self.step += 1
 
     def sort_training_data(self):
-        """Order rows (env, time) and derive per-minibatch index blocks
-        (reference clean_pufferl.py:452-464)."""
-        idxs = np.asarray(sorted(range(len(self.sort_keys)),
-            key=self.sort_keys.__getitem__))
-        self.b_idxs = idxs.reshape(
-            self.minibatch_rows, self.num_minibatches, self.bptt_horizon
-        ).transpose(1, 0, 2)  # (M, rows, h)
-        self.sorted_keys = [self.sort_keys[i] for i in idxs]
-        self.sort_keys = []
+        """Row permutation into (agent, time) order — agent-contiguous
+        blocks whose h-length runs are the BPTT segments (same ordering
+        contract as reference clean_pufferl.py:452-464; np.lexsort is
+        stable, so ties keep arrival order exactly like the reference's
+        stable tuple sort)."""
+        n = self.ptr
+        idxs = np.lexsort((self.key_step[:n], self.key_agent[:n]))
+        self.sorted_agents = self.key_agent[idxs]
         self.ptr = 0
         self.step = 0
         self.agent_step = {}
@@ -416,8 +417,7 @@ def train(data):
             # had there. After the (agent, time) sort an agent's rows
             # are contiguous; rank within the agent's block // h is the
             # segment index keyed in lstm_snap.
-            agents_sorted = np.asarray(
-                [k[0] for k in experience.sorted_keys])
+            agents_sorted = experience.sorted_agents
             change = np.r_[True, agents_sorted[1:] != agents_sorted[:-1]]
             group_start = np.maximum.accumulate(
                 np.where(change, np.arange(len(agents_sorted)), 0))

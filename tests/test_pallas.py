@@ -252,7 +252,7 @@ def test_pallas_lstm_enc5_matches_reference():
 
 
 def test_lstm_wrapper_enc_kernel_matches_plain(monkeypatch):
-    """LSTMWrapper with PUFFER_LSTM_KERNEL=enc (the default: encoder
+    """LSTMWrapper with PUFFER_LSTM_KERNEL=enc5 (the default: encoder
     fused into the kernel via the encoder_features/encoder_params
     contract) matches the pure-scan path on the same params, in both
     (B, T) and time-major layouts."""
@@ -274,7 +274,7 @@ def test_lstm_wrapper_enc_kernel_matches_plain(monkeypatch):
     params = m_plain.init(jax.random.PRNGKey(1), x)
     lo_p, v_p, (h_p, c_p) = m_plain.apply(params, x)
 
-    monkeypatch.setenv('PUFFER_LSTM_KERNEL', 'enc')
+    monkeypatch.setenv('PUFFER_LSTM_KERNEL', 'enc5')
     m_enc = mod(True)
     with pltpu.force_tpu_interpret_mode():
         lo_f, v_f, (h_f, c_f) = m_enc.apply(params, x)
@@ -315,8 +315,8 @@ def test_lstm_wrapper_enc_kernel_matches_plain(monkeypatch):
 
 
 def test_lstm_wrapper_cat_kernel_matches_plain(monkeypatch):
-    """LSTMWrapper with PUFFER_LSTM_KERNEL=cat (the default) matches
-    the pure-scan path on the same params."""
+    """LSTMWrapper with PUFFER_LSTM_KERNEL=cat (the no-encoder-contract
+    fallback) matches the pure-scan path on the same params."""
     import jax
     import jax.numpy as jnp
     from jax.experimental.pallas import tpu as pltpu
@@ -345,35 +345,33 @@ def test_lstm_wrapper_cat_kernel_matches_plain(monkeypatch):
     assert jnp.allclose(c_f, c_p, atol=1e-5)
 
 
-def test_lstm_wrapper_fused_kernel_matches_plain(monkeypatch):
-    """LSTMWrapper with PUFFER_LSTM_KERNEL=fused (pallas forced on)
-    matches the pure-scan path on the same params."""
+def test_lstm_wrapper_rejects_superseded_kernel_selector(monkeypatch):
+    """Superseded campaign variants (fused/xp/enc/enc2-4/tm) are no
+    longer dispatchable from LSTMWrapper: an unknown
+    PUFFER_LSTM_KERNEL raises, naming the production set. Raw-kernel
+    parity for the superseded entry points lives above and in
+    tests/test_pallas_archive.py."""
     import jax
-    import jax.numpy as jnp
-    from jax.experimental.pallas import tpu as pltpu
+    import pytest
     from pufferlib_tpu.models import Default, LSTMWrapper
 
     obs_shape = (7,)
-    B, T = 8, 4
     from pufferlib_tpu import spaces
-    mod = lambda use_pallas: LSTMWrapper(
+    m = LSTMWrapper(
         policy=Default(obs_shape=obs_shape,
             action_space=spaces.Discrete(5), hidden_size=32),
         obs_shape=obs_shape, input_size=32, hidden_size=32,
-        use_pallas=use_pallas)
-    x = jax.random.normal(jax.random.PRNGKey(0), (B, T) + obs_shape)
-    m_plain = mod(False)
-    params = m_plain.init(jax.random.PRNGKey(1), x)
-    lo_p, v_p, (h_p, c_p) = m_plain.apply(params, x)
+        use_pallas=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 4) + obs_shape)
+    params = LSTMWrapper(
+        policy=Default(obs_shape=obs_shape,
+            action_space=spaces.Discrete(5), hidden_size=32),
+        obs_shape=obs_shape, input_size=32, hidden_size=32,
+        use_pallas=False).init(jax.random.PRNGKey(1), x)
 
     monkeypatch.setenv('PUFFER_LSTM_KERNEL', 'fused')
-    m_fused = mod(True)
-    with pltpu.force_tpu_interpret_mode():
-        lo_f, v_f, (h_f, c_f) = m_fused.apply(params, x)
-    assert jnp.allclose(lo_f, lo_p, atol=1e-5)
-    assert jnp.allclose(v_f, v_p, atol=1e-5)
-    assert jnp.allclose(h_f, h_p, atol=1e-5)
-    assert jnp.allclose(c_f, c_p, atol=1e-5)
+    with pytest.raises(ValueError, match='enc5'):
+        m.apply(params, x)
 
 
 

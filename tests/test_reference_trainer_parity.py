@@ -83,7 +83,7 @@ def test_cartpole_learning_matches_reference():
     """Real gymnasium CartPole through each side's host path, MLP, the
     FULL 204.8k-step budget, 2 fresh seeds per side. Gates are
     calibrated from the committed 5-seed full-budget matrix
-    (experiments/h2h_cartpole5.json, 2026-08-19): reference tail
+    (docs/h2h_cartpole5.json, 2026-08-19): reference tail
     84.9 ± 14.1 over seeds {69.9, 73.0, 83.8, 88.3, 109.7}; repo
     71.1 ± 4.5 over {66.6 .. 77.8} — within 1σ of the reference's seed
     spread; per-decile curves show the repo learning FASTER early and

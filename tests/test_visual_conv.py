@@ -66,7 +66,9 @@ def test_visual_twin_lockstep():
                 done = True
                 break
             state = s.state
-        assert done or t == 31
+        # horizon semantics: tick increments before the done check, so
+        # both twins MUST terminate by the 32nd step (reached or horizon)
+        assert done, (trial, t)
 
 
 def test_visual_obs_spec():

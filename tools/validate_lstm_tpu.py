@@ -5,8 +5,8 @@ reaches score > 0.9; (3) kernel timing fwd+bwd at bench shapes.
 Run after every ops/pallas/lstm.py change before trusting bench.py
 (axon runtime: end every timed region with a value fetch).
 
-    python tools/validate_lstm_tpu.py            # default (fused) kernel
-    PUFFER_LSTM_KERNEL=xp python tools/validate_lstm_tpu.py
+    python tools/validate_lstm_tpu.py            # default (enc5) kernel
+    PUFFER_LSTM_KERNEL=cat python tools/validate_lstm_tpu.py
 """
 import os
 import sys
@@ -27,7 +27,7 @@ def main():
     from pufferlib_tpu.ocean import env_creator
     from pufferlib_tpu.training import ppo
 
-    kernel = os.environ.get('PUFFER_LSTM_KERNEL', 'fused')
+    kernel = os.environ.get('PUFFER_LSTM_KERNEL', 'enc5')
     print(f'kernel={kernel} backend={jax.default_backend()}')
 
     # --- kernel micro-timing at bench shapes -------------------------
