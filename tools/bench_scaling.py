@@ -31,6 +31,8 @@ def main():
     ap.add_argument('--epochs', type=int, default=10)
     ap.add_argument('--cpu', action='store_true', default=None,
         help='force the virtual CPU mesh (default when < max devices)')
+    ap.add_argument('--out', default=None,
+        help='also write the full per-device results to this JSON file')
     args = ap.parse_args()
 
     max_dev = max(args.devices)
@@ -84,6 +86,12 @@ def main():
         results.append(dict(devices=n, num_envs=num_envs,
             sps=round(sps, 1), scaling_efficiency=round(eff, 4)))
         print(json.dumps(results[-1]))
+
+    if args.out:
+        with open(args.out, 'w') as f:
+            json.dump({'envs_per_dev': args.envs_per_dev,
+                'horizon': args.horizon, 'hidden': args.hidden,
+                'epochs': args.epochs, 'results': results}, f, indent=1)
 
     print(json.dumps({
         'metric': 'scaling_efficiency_max_mesh',
