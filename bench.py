@@ -5,8 +5,11 @@ PPO update, all on device) — the analog of the reference's envpool SPS
 numbers (BASELINE.md). Baseline target: 10M env-steps/s on one host
 (driver north star).
 
-Prints one JSON line per metric; the HEADLINE (MLP) line is printed
-LAST. Default run emits both the LSTM and MLP numbers:
+Prints one JSON line per metric; the HEADLINE (MLP, 32768 lanes) line
+is printed LAST. Default run emits the scaling curve, the 8192-lane
+continuity point, and the LSTM and MLP numbers:
+  {"metric": "ocean_squared_scaling_eff_{8,16,32}dev", ...}
+  {"metric": "ocean_squared_ppo_sps_8k_lanes", ...}
   {"metric": "ocean_squared_ppo_lstm_sps", ...}
   {"metric": "ocean_squared_ppo_sps", "value": N, "unit": "steps/s",
    "vs_baseline": N/1e7}
@@ -19,7 +22,7 @@ import time
 BASELINE_SPS = 10_000_000.0
 
 
-def run_one(use_rnn, smoke):
+def run_one(use_rnn, smoke, num_envs=None, metric_suffix=''):
     import jax.numpy as jnp
     import pufferlib_tpu.vector as vector
     from pufferlib_tpu.models import Default, Policy
@@ -29,7 +32,8 @@ def run_one(use_rnn, smoke):
     if smoke:
         num_envs, horizon, hidden, epochs = 64, 16, 64, 3
     else:
-        num_envs = int(os.environ.get('BENCH_NUM_ENVS', 8192))
+        if num_envs is None:
+            num_envs = int(os.environ.get('BENCH_NUM_ENVS', 8192))
         horizon = int(os.environ.get('BENCH_HORIZON', 64))
         hidden = int(os.environ.get('BENCH_HIDDEN', 128))
         epochs = int(os.environ.get('BENCH_EPOCHS', 100))
@@ -50,10 +54,18 @@ def run_one(use_rnn, smoke):
             dtype=dtype))
     else:
         policy = Policy(module)
+    # Non-recurrent: cap minibatch rows so the update's activation
+    # working set stays VMEM-resident — scaling minibatch_size with the
+    # batch was the >8192-lane knee (docs/PERF.md; update 2x slower once
+    # (rows, hidden) falls out of scoped VMEM). The LSTM path keeps
+    # num_minibatches == T//bptt_horizon for the transpose-free
+    # time-slab partition (its working set is tiled inside the kernel).
+    minibatch_size = batch_size // 4 if use_rnn else \
+        ppo.suggest_minibatch_size(batch_size, hidden_size=hidden)
     config = ppo.default_config(
         env='squared',
         batch_size=batch_size,
-        minibatch_size=batch_size // 4,
+        minibatch_size=minibatch_size,
         bptt_horizon=16,
         # large enough that done_training (checkpoint save + metric
         # materialization) never fires inside the timed region
@@ -82,8 +94,8 @@ def run_one(use_rnn, smoke):
     epochs = reps * chunk
 
     sps = epochs * batch_size / elapsed
-    metric = 'ocean_squared_ppo_lstm_sps' if use_rnn \
-        else 'ocean_squared_ppo_sps'
+    metric = ('ocean_squared_ppo_lstm_sps' if use_rnn
+        else 'ocean_squared_ppo_sps') + metric_suffix
     vecenv.close()
     return {
         'metric': metric,
@@ -156,14 +168,23 @@ def main():
     only = os.environ.get('BENCH_ONLY')
     if os.environ.get('BENCH_RNN') == '1':  # legacy spelling
         only = 'lstm'
-    # headline (MLP) metric printed LAST so a last-line parser records it
+    # headline (MLP) metric printed LAST so a last-line parser records
+    # it. Since the >8192-lane knee fix (docs/PERF.md) the scale-up
+    # axis improves throughput — the headline runs at 32768 lanes (the
+    # reference's own lever: raise env count, config.yaml:591-602);
+    # the historical 8192-lane point stays as a continuity metric.
     if only is None and not smoke:
         for rec in run_scaling():
             print(json.dumps(rec), flush=True)
+        print(json.dumps(run_one(use_rnn=False, smoke=False,
+            num_envs=8192, metric_suffix='_8k_lanes')), flush=True)
     if only != 'mlp':
         print(json.dumps(run_one(use_rnn=True, smoke=smoke)), flush=True)
     if only != 'lstm':
-        print(json.dumps(run_one(use_rnn=False, smoke=smoke)), flush=True)
+        headline_envs = None if (smoke or 'BENCH_NUM_ENVS' in os.environ) \
+            else 32768
+        print(json.dumps(run_one(use_rnn=False, smoke=smoke,
+            num_envs=headline_envs)), flush=True)
 
 
 if __name__ == '__main__':

@@ -46,6 +46,28 @@ from pufferlib_tpu.utils import profile as profile_deco
 from pufferlib_tpu.vector import make_env_ops
 
 
+def suggest_minibatch_size(batch_size, hidden_size=128,
+        num_minibatches=4, vmem_budget=1 << 24):
+    """Largest minibatch (in rows) that keeps the PPO update's per-
+    minibatch activation working set VMEM-resident, capped below
+    batch_size/num_minibatches.
+
+    Why this matters (the >8192-lane knee, docs/PERF.md): the update's
+    matmuls stream (rows, hidden) activations between the forward and
+    backward; when rows*hidden elements fit the compiler's scoped-VMEM
+    budget those tensors never round-trip HBM (their HLO layouts carry
+    S(1)) and each minibatch update runs ~2x faster. Scaling
+    minibatch_size proportionally with env count (batch//4) silently
+    pushes the working set out of VMEM — measured on v5e at hidden 128:
+    update 41.8 ms at 524288-row minibatches vs 20.2 ms at 131072-row
+    (same total data, 4x the minibatches). The default budget 2^24
+    elements (= 32 MB bf16) is the measured v5e knee: 131072 rows at
+    hidden 128, where the sweep is flat below and 2x above.
+    """
+    cap = max(vmem_budget // max(hidden_size, 1), 1)
+    return min(batch_size // num_minibatches, cap)
+
+
 def default_config(**overrides):
     """Train-section defaults mirroring reference config.yaml:24-43."""
     cfg = namespace(
