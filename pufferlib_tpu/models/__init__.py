@@ -55,6 +55,54 @@ def _block_orthogonal_init(nvec):
     return init
 
 
+def _torch_linear_init():
+    """torch nn.Linear's default weight init (kaiming-uniform with
+    a=sqrt(5), i.e. U(-1/sqrt(fan_in), 1/sqrt(fan_in))) — what the
+    reference Default leaves on its encoder (reference models.py:26)."""
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / np.sqrt(shape[0])
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+def _torch_uniform_init(fan_in):
+    """torch nn.Linear's default bias init: U(+-1/sqrt(fan_in))."""
+    bound = 1.0 / np.sqrt(fan_in)
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+def _torch_head_kernel_init(nvec):
+    """Fused-head kernel matching the reference Default exactly: logit
+    blocks orthogonal std 0.01 (reference models.py:33-37 layer_init),
+    value column torch-default Linear (reference models.py:39 leaves
+    value_head at nn.Linear default init)."""
+    def init(key, shape, dtype=jnp.float32):
+        in_dim, out = shape
+        assert out == sum(nvec) + 1
+        keys = jax.random.split(key, len(nvec) + 1)
+        blocks = [nn.initializers.orthogonal(scale=0.01)(
+            k, (in_dim, n), dtype) for k, n in zip(keys, nvec)]
+        bound = 1.0 / np.sqrt(in_dim)
+        blocks.append(jax.random.uniform(
+            keys[-1], (in_dim, 1), dtype, -bound, bound))
+        return jnp.concatenate(blocks, axis=1)
+    return init
+
+
+def _torch_head_bias_init(nvec, fan_in):
+    """Fused-head bias matching the reference: zeros for the logit
+    blocks (layer_init zeroes bias), torch-default U(+-1/sqrt(fan_in))
+    for the value element."""
+    bound = 1.0 / np.sqrt(fan_in)
+    def init(key, shape, dtype=jnp.float32):
+        b = jnp.zeros(shape, dtype)
+        v = jax.random.uniform(key, (1,), dtype, -bound, bound)
+        return b.at[-1:].set(v)
+    return init
+
+
 def _action_info(action_space):
     """(is_multidiscrete, nvec list) for a flat (emulated) action space."""
     if isinstance(action_space, spaces.MultiDiscrete):
@@ -85,19 +133,40 @@ class Default(nn.Module):
     # archaeology; incompatible with model-axis meshes (GSPMD cannot
     # partition a pallas_call).
     use_pallas: object = None
+    # 'orthogonal' (CleanRL layer_init everywhere, the repo default) or
+    # 'torch' (byte-match the reference Default's scheme: torch-default
+    # kaiming-uniform encoder + value head with random biases,
+    # orthogonal 0.01 decoders — reference models.py:24-39). The init
+    # ablation (tools/ablate_init.py, docs/ablate_init_cartpole.json)
+    # measured which scheme learns better per env.
+    init_style: str = 'orthogonal'
 
     def setup(self):
-        self.encoder = layer_init_dense(self.hidden_size, name='encoder',
-            dtype=self.dtype)
+        if self.init_style == 'torch':
+            self.encoder = nn.Dense(self.hidden_size,
+                kernel_init=_torch_linear_init(),
+                bias_init=_torch_uniform_init(
+                    int(np.prod(self.obs_shape))),
+                name='encoder', dtype=self.dtype,
+                param_dtype=jnp.float32)
+        else:
+            self.encoder = layer_init_dense(self.hidden_size,
+                name='encoder', dtype=self.dtype)
         is_md, nvec = _action_info(self.action_space)
         self.is_multidiscrete = is_md
         self.nvec = nvec
         # one fused head matmul: [decoder_0 | ... | decoder_k | value].
         # Same per-block orthogonal init as separate heads (std 0.01 for
         # logits, 1.0 for value), one MXU dispatch on the rollout hot path.
+        if self.init_style == 'torch':
+            head_kernel = _torch_head_kernel_init(nvec)
+            head_bias = _torch_head_bias_init(nvec, self.hidden_size)
+        else:
+            head_kernel = _block_orthogonal_init(nvec)
+            head_bias = nn.initializers.zeros
         self.head = nn.Dense(sum(nvec) + 1,
-            kernel_init=_block_orthogonal_init(nvec),
-            bias_init=nn.initializers.zeros, name='head',
+            kernel_init=head_kernel,
+            bias_init=head_bias, name='head',
             dtype=self.dtype, param_dtype=jnp.float32)
 
     def encoder_features(self, observations):

@@ -53,9 +53,15 @@ HP = {
     'spaces': dict(total_timesteps=30_720, learning_rate=0.017,
         num_envs=8, batch_size=1024, minibatch_size=128, bptt_horizon=4,
         use_rnn=True),
+    # repo_init='torch': match the reference Default's init scheme
+    # exactly (torch-default kaiming-uniform encoder/value head) so the
+    # h2h measures the TRAINERS, not the init. CleanRL orthogonal init
+    # underscales the encoder at CartPole's 4-dim obs — the 4-arm
+    # ablation (tools/ablate_init.py, docs/ablate_init_cartpole.json)
+    # showed the init swings the tail 61 <-> 128 on BOTH stacks.
     'cartpole': dict(total_timesteps=204_800, learning_rate=2.5e-4,
         num_envs=64, batch_size=1024, minibatch_size=512,
-        bptt_horizon=16, use_rnn=False),
+        bptt_horizon=16, use_rnn=False, repo_init='torch'),
     # conv path: each side's own NatureCNN on the pixel micro-env
     # (tools/visual_env_ref.py twins pufferlib_tpu.ocean.VisualTarget)
     'visual': dict(total_timesteps=262_144, learning_rate=1e-3,
@@ -95,25 +101,27 @@ def tail_mean(history, env, side, frac=0.2):
     return float(np.mean(series[-k:]))
 
 
-def run_reference(env, seed):
+def run_reference(env, seed, init_style=None):
     hp = HP[env]
     out = ref_trainer.train_reference(env, seed=seed,
         total_timesteps=hp['total_timesteps'],
         learning_rate=hp['learning_rate'], num_envs=hp['num_envs'],
         env_batch_size=hp['num_envs'], batch_size=hp['batch_size'],
         minibatch_size=hp['minibatch_size'],
-        bptt_horizon=hp['bptt_horizon'])
+        bptt_horizon=hp['bptt_horizon'], init_style=init_style)
     out['tail'] = tail_mean(out['history'], env, 'reference')
     return out
 
 
-def run_repo(env, seed):
+def run_repo(env, seed, init_style=None):
     """Train pufferlib_tpu with the same hyperparameters. Ocean envs run
     on the device engine (vector.Device); cartpole runs the REAL
     gymnasium CartPole through the host bridge + host trainer, exactly
     like a reference user would."""
     import jax
     hp = HP[env]
+    if init_style is None:
+        init_style = hp.get('repo_init', 'orthogonal')
     history = []
     t0 = time.perf_counter()
 
@@ -127,7 +135,8 @@ def run_repo(env, seed):
             backend=vector_host.HostSerial, num_envs=hp['num_envs'])
         policy = Policy(Default(
             obs_shape=vecenv.single_observation_space.shape,
-            action_space=vecenv.single_action_space, hidden_size=128))
+            action_space=vecenv.single_action_space, hidden_size=128,
+            init_style=init_style))
         config = trainer.default_config(env=env, seed=seed,
             exp_id=f'h2h-{env}-{seed}',
             total_timesteps=hp['total_timesteps'],

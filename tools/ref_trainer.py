@@ -148,9 +148,16 @@ def make_config(env_name, seed=1, **overrides):
     return pufferlib.namespace(**cfg), PACKAGES[pkg]['use_rnn'], pkg
 
 
-def train_reference(env_name, seed=1, quiet=True, **overrides):
+def train_reference(env_name, seed=1, quiet=True, init_style=None,
+        **overrides):
     """Train the reference trainer end-to-end; returns a dict with the
-    per-epoch stats series, final stats, and measured SPS."""
+    per-epoch stats series, final stats, and measured SPS.
+
+    init_style='orthogonal' re-initializes the reference Default with
+    the repo's CleanRL-style scheme (orthogonal sqrt(2) encoder,
+    orthogonal 1.0 value head, zero biases) for the init ablation
+    (tools/ablate_init.py); None keeps the reference's own init
+    (torch-default encoder/value head, reference models.py:24-39)."""
     clean_pufferl = load_clean_pufferl()
     import pufferlib.vector
     from pufferlib.frameworks import cleanrl
@@ -179,6 +186,16 @@ def train_reference(env_name, seed=1, quiet=True, **overrides):
         e.is_observation_checked = True
 
     policy = env_module.Policy(vecenv.driver_env)
+    if init_style == 'orthogonal':
+        import torch
+        torch.manual_seed(seed)
+        m = policy
+        while not hasattr(m, 'encoder') and hasattr(m, 'policy'):
+            m = m.policy
+        torch.nn.init.orthogonal_(m.encoder.weight, gain=2 ** 0.5)
+        torch.nn.init.zeros_(m.encoder.bias)
+        torch.nn.init.orthogonal_(m.value_head.weight, gain=1.0)
+        torch.nn.init.zeros_(m.value_head.bias)
     if use_rnn:
         policy = env_module.Recurrent(vecenv.driver_env, policy)
         policy = cleanrl.RecurrentPolicy(policy)
