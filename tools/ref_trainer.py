@@ -149,7 +149,7 @@ def make_config(env_name, seed=1, **overrides):
 
 
 def train_reference(env_name, seed=1, quiet=True, init_style=None,
-        **overrides):
+        backend='serial', num_workers=None, **overrides):
     """Train the reference trainer end-to-end; returns a dict with the
     per-epoch stats series, final stats, and measured SPS.
 
@@ -157,7 +157,15 @@ def train_reference(env_name, seed=1, quiet=True, init_style=None,
     the repo's CleanRL-style scheme (orthogonal sqrt(2) encoder,
     orthogonal 1.0 value head, zero biases) for the init ablation
     (tools/ablate_init.py); None keeps the reference's own init
-    (torch-default encoder/value head, reference models.py:24-39)."""
+    (torch-default encoder/value head, reference models.py:24-39).
+
+    backend='multiprocessing' runs the reference on its flagship
+    Multiprocessing envpool (reference vector.py:218-447) with
+    num_workers workers (default: reference config.yaml's tuned value
+    for the package, e.g. ocean num_workers=2, default train
+    num_workers=8) — the reference's best-foot configuration
+    (tools/bench_ref_backend.py measures what that foot is worth on
+    this box)."""
     clean_pufferl = load_clean_pufferl()
     import pufferlib.vector
     from pufferlib.frameworks import cleanrl
@@ -172,10 +180,20 @@ def train_reference(env_name, seed=1, quiet=True, init_style=None,
         from pufferlib.environments import classic_control as env_module
 
     make_env = env_module.env_creator(env_name)
-    vecenv = pufferlib.vector.make(
-        make_env, num_envs=config.num_envs,
-        batch_size=config.env_batch_size,
-        backend=pufferlib.vector.Serial)
+    if backend == 'multiprocessing':
+        if num_workers is None:
+            num_workers = int(getattr(config, 'num_workers', 8))
+        num_workers = min(num_workers, int(config.num_envs))
+        vecenv = pufferlib.vector.make(
+            make_env, num_envs=config.num_envs,
+            batch_size=config.env_batch_size,
+            num_workers=num_workers,
+            backend=pufferlib.vector.Multiprocessing)
+    else:
+        vecenv = pufferlib.vector.make(
+            make_env, num_envs=config.num_envs,
+            batch_size=config.env_batch_size,
+            backend=pufferlib.vector.Serial)
 
     # Reference bug: ocean Password declares Box(0, 1) but emits -1
     # "unset" sentinel obs (reference ocean.py:259, :271), so the
