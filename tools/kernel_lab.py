@@ -19,7 +19,11 @@ import jax
 import jax.numpy as jnp
 
 
-def slope(run_k, k1=5, k2=25):
+def slope(run_k, k1=50, k2=450):
+    """Steady-state per-iter time. K >= 400 dispatches per fetch window
+    so the tunnel's tens-of-ms RTT jitter cancels (docs/PERF.md
+    'Measuring honestly on this runtime'); the earlier k1=5/k2=25
+    setting produced +-2 ms swings on ~1 ms kernels."""
     run_k(1)
     t1 = run_k(k1)
     t2 = run_k(k2)
