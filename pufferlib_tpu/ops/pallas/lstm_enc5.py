@@ -168,7 +168,29 @@ def _hoisted_bwd(kernel_body, cdt, residuals, grads):
         scratch = T * bt * (D + 4 * H) * rb // 2
         return seqs + weights + states + scratch
 
-    bt = _tile_budget(B, 'PUFFER_LSTM_TILE_BWD', bwd_bytes)
+    # The backward wants the LARGEST tile that compiles, not the
+    # largest that fits the conservative 12M default budget: its
+    # sequential dh-chain loop is latency-bound (probe_bwd: stripped
+    # loop bodies time the same), so halving the grid count at bt=256
+    # cut the in-trainer LSTM epoch ~4.4% (20.58 -> 21.49M SPS,
+    # 2026-08-20) even though per-iteration work doubles. Mosaic's
+    # scoped-vmem default (16M) rejects bt=256 (needs ~19.1M at bench
+    # shapes), so when the doubled-budget choice exceeds the default
+    # budget we raise this CALL's vmem limit — the forward keeps its
+    # own tile/limit (a globally raised limit measurably slowed it).
+    bt12 = _tile_budget(B, 'PUFFER_LSTM_TILE_BWD', bwd_bytes)
+    import os
+    bt = bt12
+    vmem_limit = None
+    if not os.environ.get('PUFFER_LSTM_TILE_BWD') and B % 256 == 0:
+        if bt12 < 256 and 2 * bwd_bytes(256) <= 24 * 1024 * 1024:
+            bt = 256
+            # Mosaic's stack allocation for the bt=256 body measured
+            # 19.1M scoped; 32M covers it with pipelining headroom
+            # (v5e VMEM is 128M)
+            vmem_limit = 32 * 1024 * 1024
+    if os.environ.get('PUFFER_LSTM_VMEM_LIMIT'):
+        vmem_limit = int(os.environ['PUFFER_LSTM_VMEM_LIMIT'])
     grid = (B // bt,)
     vm = pltpu.VMEM
     rdt = jnp.bfloat16 if cdt == jnp.bfloat16 else jnp.float32
@@ -178,8 +200,10 @@ def _hoisted_bwd(kernel_body, cdt, residuals, grads):
         memory_space=vm)
     state_spec = pl.BlockSpec((bt, H), lambda i: (i, 0), memory_space=vm)
     kernel = functools.partial(kernel_body, T=T, cdt=cdt)
+    cp = pltpu.CompilerParams(vmem_limit_bytes=vmem_limit) \
+        if vmem_limit else _compiler_params()
     dh0, dc0, dwe, dbe, dw, db = pl.pallas_call(
-        kernel, grid=grid, compiler_params=_compiler_params(),
+        kernel, grid=grid, compiler_params=cp,
         scratch_shapes=[pltpu.VMEM((T * bt, D), rdt),
             pltpu.VMEM((T * bt, 4 * H), rdt)],
         in_specs=[

@@ -25,7 +25,7 @@ def _enc_args(seed):
     )
 
 
-@pytest.mark.parametrize('variant', ['enc2', 'enc3', 'enc4'])
+@pytest.mark.parametrize('variant', ['enc2', 'enc3', 'enc4', 'enc6'])
 def test_archived_enc_variant_matches_reference(variant):
     import importlib
     import jax

@@ -67,7 +67,7 @@ def main():
 
     want = sys.argv[1:] or ['fused', 'fused-fwd']
     known = {'fused', 'fused-fwd', 'cat', 'enc', 'enc2', 'enc3',
-        'enc4', 'enc5', 'tc'}
+        'enc4', 'enc5', 'enc6', 'tc'}
     unknown = [v for v in want if v not in known]
     if unknown:
         sys.exit(f'unknown variant(s) {unknown}; choose from '
@@ -111,7 +111,7 @@ def main():
         t = slope(run_k)
         print(f'{"lstm_scan_enc":32s} fwd+bwd {t*1e3:8.3f} ms')
         bench('lstm_scan_enc', lstm_scan_enc, eargs, grad=False)
-    enc_variants = ('enc2', 'enc3', 'enc4', 'enc5')
+    enc_variants = ('enc2', 'enc3', 'enc4', 'enc5', 'enc6')
     for name in enc_variants:
         if name not in want:
             continue
@@ -124,6 +124,9 @@ def main():
         elif name == 'enc4':
             from pufferlib_tpu.ops.pallas.archive.lstm_enc4 import (
                 lstm_scan_enc4 as scan)
+        elif name == 'enc6':
+            from pufferlib_tpu.ops.pallas.archive.lstm_enc6 import (
+                lstm_scan_enc6 as scan)
         else:
             from pufferlib_tpu.ops.pallas.lstm_enc5 import (
                 lstm_scan_enc5 as scan)
