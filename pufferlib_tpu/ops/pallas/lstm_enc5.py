@@ -171,13 +171,16 @@ def _hoisted_bwd(kernel_body, cdt, residuals, grads):
     # The backward wants the LARGEST tile that compiles, not the
     # largest that fits the conservative 12M default budget: its
     # sequential dh-chain loop is latency-bound (probe_bwd: stripped
-    # loop bodies time the same), so halving the grid count at bt=256
-    # cut the in-trainer LSTM epoch ~4.4% (20.58 -> 21.49M SPS,
-    # 2026-08-20) even though per-iteration work doubles. Mosaic's
-    # scoped-vmem default (16M) rejects bt=256 (needs ~19.1M at bench
-    # shapes), so when the doubled-budget choice exceeds the default
-    # budget we raise this CALL's vmem limit — the forward keeps its
-    # own tile/limit (a globally raised limit measurably slowed it).
+    # loop bodies time the same), so halving the grid iteration count
+    # matters more than per-iteration work: bt=256 cut the in-trainer
+    # LSTM epoch ~4.4% (20.58 -> 21.49M SPS, 2026-08-20). Mosaic's
+    # scoped-vmem default (16M) rejects the 256-row body (~19.1M
+    # stack), so the backward raises its OWN call's limit to 32M; a
+    # globally raised limit measurably slowed the forward, hence
+    # per-call. bt=512 @ 64M is a measured DEAD END: kernel-lab pair
+    # 1.063 vs 1.075 ms (noise), but in-trainer 20.99M vs 21.46M SPS
+    # (-2.2%, 300-epoch A/B 2026-08-20) — the doubled vmem limit costs
+    # the surrounding program more than the halved grid saves.
     bt12 = _tile_budget(B, 'PUFFER_LSTM_TILE_BWD', bwd_bytes)
     import os
     bt = bt12
