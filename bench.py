@@ -36,7 +36,10 @@ def run_one(use_rnn, smoke, num_envs=None, metric_suffix=''):
             num_envs = int(os.environ.get('BENCH_NUM_ENVS', 8192))
         horizon = int(os.environ.get('BENCH_HORIZON', 64))
         hidden = int(os.environ.get('BENCH_HIDDEN', 128))
-        epochs = int(os.environ.get('BENCH_EPOCHS', 100))
+        # 200-epoch timed window: at 100 the fixed dispatch/RTT costs
+        # still bias the MLP metric ~2% low (79.4 vs 81.1M measured
+        # back-to-back, 2026-08-20); 200 is the knee of that curve
+        epochs = int(os.environ.get('BENCH_EPOCHS', 200))
 
     batch_size = num_envs * horizon
     vecenv = vector.make(env_creator('squared'),
