@@ -198,6 +198,18 @@ def _bwd(cdt, residuals, grads):
         return seqs + weights + states
 
     bt = _tile_budget(B, 'PUFFER_LSTM_TILE_BWD', bwd_bytes)
+    # Same finding as the enc5 backward (lstm_enc5.py): the sequential
+    # dh-chain loop is latency-bound, so the LARGEST tile that compiles
+    # beats the largest that fits the conservative 12M budget — bt=256
+    # with a per-call 32M vmem limit takes the measured pair 1.238 ->
+    # 1.125 ms at bench shapes and the in-trainer cat-path LSTM bench
+    # 17.7 -> 18.9M SPS (kernel_lab + bench 2026-08-20). The limit must
+    # be per-CALL: globally raised it measurably slows the forward.
+    cp = _compiler_params()
+    if not os.environ.get('PUFFER_LSTM_TILE_BWD') and B % 256 == 0 \
+            and bt < 256 and 2 * bwd_bytes(256) <= 24 * 1024 * 1024:
+        bt = 256
+        cp = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
     grid = (B // bt,)
     vm = pltpu.VMEM
     b2 = b.reshape(1, 4 * H)
@@ -206,7 +218,7 @@ def _bwd(cdt, residuals, grads):
     state_spec = pl.BlockSpec((bt, H), lambda i: (i, 0), memory_space=vm)
     kernel = functools.partial(_bwd_kernel, T=T, cdt=cdt)
     dx, dh0, dc0, dw, db = pl.pallas_call(
-        kernel, grid=grid, compiler_params=_compiler_params(),
+        kernel, grid=grid, compiler_params=cp,
         in_specs=[
             pl.BlockSpec((T, bt, D), lambda i: (0, i, 0),
                 memory_space=vm),
