@@ -51,9 +51,15 @@ def build(num_envs, horizon, use_rnn=True):
             dtype=jnp.bfloat16))
     else:
         policy = Policy(module)
+    # mirror bench.py's minibatch policy: recurrent keeps the
+    # time-slab partition (batch//4); non-recurrent caps rows at the
+    # VMEM-resident size (profiling batch//4 at >8192 lanes would
+    # profile the fixed knee, docs/PERF.md)
+    minibatch_size = batch_size // 4 if use_rnn else \
+        ppo.suggest_minibatch_size(batch_size)
     config = ppo.default_config(
         env='squared', batch_size=batch_size,
-        minibatch_size=batch_size // 4, bptt_horizon=16,
+        minibatch_size=minibatch_size, bptt_horizon=16,
         total_timesteps=batch_size * 1_000_000, anneal_lr=False,
         obs_store_dtype='bfloat16', verbose=False,
         data_dir='/tmp/puffer_tpu_prof', checkpoint_interval=1_000_000)
