@@ -108,6 +108,61 @@ def run_one(use_rnn, smoke, num_envs=None, metric_suffix=''):
     }
 
 
+def run_conv(smoke=False):
+    """Opt-in (BENCH_ONLY=conv) conv-family metric: VisualTarget pixel
+    obs (uint8 NCHW, ocean/ocean.py:500) through Convolutional+LSTM —
+    the NatureCNN analog of reference models.py:113-157 riding the
+    `cat` Pallas kernel (policies without the encoder contract). Not
+    part of the default driver run; recorded in docs/PERF.md."""
+    import jax.numpy as jnp
+    import pufferlib_tpu.vector as vector
+    from pufferlib_tpu.models import (
+        Convolutional, LSTMWrapper, RecurrentPolicy)
+    from pufferlib_tpu.ocean import env_creator
+    from pufferlib_tpu.training import ppo
+
+    if smoke:
+        num_envs, horizon, epochs = 32, 16, 3
+    else:
+        num_envs = int(os.environ.get('BENCH_NUM_ENVS', 4096))
+        horizon = int(os.environ.get('BENCH_HORIZON', 64))
+        epochs = int(os.environ.get('BENCH_EPOCHS', 50))
+    batch_size = num_envs * horizon
+    vecenv = vector.make(env_creator('visual'), backend=vector.Device,
+        num_envs=num_envs)
+    obs_shape = vecenv.single_observation_space.shape
+    module = Convolutional(action_space=vecenv.single_action_space,
+        framestack=2, flat_size=64, hidden_size=128,
+        dtype=jnp.bfloat16)
+    policy = RecurrentPolicy(LSTMWrapper(policy=module,
+        obs_shape=obs_shape, input_size=128, hidden_size=128,
+        dtype=jnp.bfloat16))
+    config = ppo.default_config(
+        env='visual', batch_size=batch_size,
+        minibatch_size=batch_size // 4, bptt_horizon=16,
+        total_timesteps=batch_size * 1_000_000, anneal_lr=False,
+        verbose=False, data_dir='/tmp/puffer_tpu_bench',
+        checkpoint_interval=1_000_000)
+    data = ppo.create(config, vecenv, policy)
+    chunk = int(os.environ.get('BENCH_CHUNK', 5))
+    ppo.step_many(data, chunk)
+    float(data.carry['t'])
+    reps = max(epochs // chunk, 1)
+    start = time.perf_counter()
+    for _ in range(reps):
+        ppo.step_many(data, chunk)
+    float(data.carry['t'])
+    elapsed = time.perf_counter() - start
+    sps = reps * chunk * batch_size / elapsed
+    vecenv.close()
+    return {
+        'metric': 'ocean_visual_ppo_conv_lstm_sps',
+        'value': round(sps, 1),
+        'unit': 'steps/s',
+        'vs_baseline': round(sps / BASELINE_SPS, 4),
+    }
+
+
 def run_scaling():
     """Weak-scaling efficiency curve on virtual CPU meshes — the
     committed evidence lines for the BASELINE multi-host target (>=80%
@@ -171,6 +226,9 @@ def main():
     only = os.environ.get('BENCH_ONLY')
     if os.environ.get('BENCH_RNN') == '1':  # legacy spelling
         only = 'lstm'
+    if only == 'conv':
+        print(json.dumps(run_conv(smoke=smoke)), flush=True)
+        return
     # headline (MLP) metric printed LAST so a last-line parser records
     # it. Since the >8192-lane knee fix (docs/PERF.md) the scale-up
     # axis improves throughput — the headline runs at 32768 lanes (the
