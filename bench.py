@@ -163,6 +163,63 @@ def run_conv(smoke=False):
     }
 
 
+def run_transformer(smoke=False):
+    """Opt-in (BENCH_ONLY=transformer) metric for the beyond-reference
+    attention family: ocean squared through TransformerWrapper
+    (models/transformer.py, window == bptt_horizon). Not part of the
+    default driver run; recorded in docs/PERF.md."""
+    import jax.numpy as jnp
+    import pufferlib_tpu.vector as vector
+    from pufferlib_tpu.models import (
+        Default, TransformerPolicy, TransformerWrapper)
+    from pufferlib_tpu.ocean import env_creator
+    from pufferlib_tpu.training import ppo
+
+    if smoke:
+        num_envs, horizon, hidden, epochs = 32, 16, 64, 3
+    else:
+        num_envs = int(os.environ.get('BENCH_NUM_ENVS', 8192))
+        horizon = int(os.environ.get('BENCH_HORIZON', 64))
+        hidden = int(os.environ.get('BENCH_HIDDEN', 128))
+        epochs = int(os.environ.get('BENCH_EPOCHS', 100))
+    batch_size = num_envs * horizon
+    vecenv = vector.make(env_creator('squared'),
+        env_kwargs=dict(distance_to_target=3, num_targets=1),
+        backend=vector.Device, num_envs=num_envs)
+    obs_shape = vecenv.single_observation_space.shape
+    module = TransformerWrapper(
+        policy=Default(obs_shape=obs_shape,
+            action_space=vecenv.single_action_space,
+            hidden_size=hidden, dtype=jnp.bfloat16),
+        obs_shape=obs_shape, input_size=hidden, hidden_size=hidden,
+        window=16, num_heads=4, dtype=jnp.bfloat16)
+    policy = TransformerPolicy(module)
+    config = ppo.default_config(
+        env='squared', batch_size=batch_size,
+        minibatch_size=batch_size // 4, bptt_horizon=16,
+        total_timesteps=batch_size * 1_000_000, anneal_lr=False,
+        obs_store_dtype='bfloat16', verbose=False,
+        data_dir='/tmp/puffer_tpu_bench', checkpoint_interval=1_000_000)
+    data = ppo.create(config, vecenv, policy)
+    chunk = int(os.environ.get('BENCH_CHUNK', 10))
+    ppo.step_many(data, chunk)
+    float(data.carry['t'])
+    reps = max(epochs // chunk, 1)
+    start = time.perf_counter()
+    for _ in range(reps):
+        ppo.step_many(data, chunk)
+    float(data.carry['t'])
+    elapsed = time.perf_counter() - start
+    sps = reps * chunk * batch_size / elapsed
+    vecenv.close()
+    return {
+        'metric': 'ocean_squared_ppo_transformer_sps',
+        'value': round(sps, 1),
+        'unit': 'steps/s',
+        'vs_baseline': round(sps / BASELINE_SPS, 4),
+    }
+
+
 def run_scaling():
     """Weak-scaling efficiency curve on virtual CPU meshes — the
     committed evidence lines for the BASELINE multi-host target (>=80%
@@ -228,6 +285,9 @@ def main():
         only = 'lstm'
     if only == 'conv':
         print(json.dumps(run_conv(smoke=smoke)), flush=True)
+        return
+    if only == 'transformer':
+        print(json.dumps(run_transformer(smoke=smoke)), flush=True)
         return
     # headline (MLP) metric printed LAST so a last-line parser records
     # it. Since the >8192-lane knee fix (docs/PERF.md) the scale-up

@@ -17,8 +17,11 @@ import flax.linen as nn
 from pufferlib_tpu import spaces
 from pufferlib_tpu.models.distributions import sample_logits
 from pufferlib_tpu.models.policy import Policy, RecurrentPolicy, count_params
+from pufferlib_tpu.models.transformer import (
+    TransformerPolicy, TransformerWrapper)
 
 __all__ = ['Default', 'LSTMWrapper', 'Convolutional', 'ProcgenResnet',
+    'TransformerWrapper', 'TransformerPolicy',
     'sample_logits', 'Policy', 'RecurrentPolicy', 'count_params',
     'layer_init_dense']
 

@@ -13,7 +13,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize('only', ['mlp', 'lstm', 'conv'])
+@pytest.mark.parametrize('only', ['mlp', 'lstm', 'conv', 'transformer'])
 def test_bench_smoke_emits_metric_json(only):
     env = dict(os.environ, BENCH_SMOKE='1', BENCH_ONLY=only)
     proc = subprocess.run([sys.executable, 'bench.py'],
@@ -27,5 +27,6 @@ def test_bench_smoke_emits_metric_json(only):
     assert rec['unit'] == 'steps/s', rec
     expect = {'mlp': 'ocean_squared_ppo_sps',
         'lstm': 'ocean_squared_ppo_lstm_sps',
-        'conv': 'ocean_visual_ppo_conv_lstm_sps'}[only]
+        'conv': 'ocean_visual_ppo_conv_lstm_sps',
+        'transformer': 'ocean_squared_ppo_transformer_sps'}[only]
     assert rec['metric'] == expect, rec
